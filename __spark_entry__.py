@@ -1,38 +1,672 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-dup pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible one (non-SQL ops — signatures, LSH, CC — get
+rows-only checks per the driver contract).
+
+Column-name discipline: every computed column is aliased identically
+in the Spark query and the SQL so the driver's order-insensitive
+value-hash compares apples to apples.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.config import DedupConfig
+from photo_dedup_spark.functions import textstats as ts
+from photo_dedup_spark.functions.keys import (
+    exact_key_col,
+    exact_key_sql,
+    norm_key_col,
+    norm_key_sql,
+    partial_key_col,
+    partial_key_sql,
+)
+from photo_dedup_spark.functions.naming import (
+    is_meaningless,
+    is_meaningless_sql,
+    readability_score,
+    readability_score_sql,
+    valid_ymd_prefix,
+    valid_ymd_prefix_sql,
+)
+
+# content cap sized so the sf testdata documents (all small) are in play
+ENTRY_CONFIG = DedupConfig(salt_threshold=64, num_salts=8)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table reshaped to the (repo,path,commit,lang,content)
+    input_hint contract."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup pipeline on sf0.001 documents; returns
+    the per-document cluster assignment with keep-selection."""
+    from photo_dedup_spark.pipeline import run_pipeline
+
+    files = _docs_as_files(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid")
+    return res.assignments.select(
+        "doc_id", "repo", "path", "n_chars", "cluster_id", "rn", "is_keep"
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (Spark + DuckDB SQL twins)
+# ---------------------------------------------------------------------------
+
+# -- dedup core on documents ------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A1: group by raw sha256, groups with >1 member (H1)."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .groupBy(exact_key_col(F.col("text")).alias("exact_key"))
+        .agg(
+            F.count("*").alias("member_count"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .where(F.col("member_count") > 1)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+SELECT {exact_key_sql('text')} AS exact_key,
+       COUNT(*) AS member_count,
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_normalized_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/H4: raw vs normalized key per row — the pixel-hash analog."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        exact_key_col(F.col("text")).alias("exact_key"),
+        norm_key_col(F.col("text")).alias("norm_key"),
+    )
+
+
+SQL_NORMALIZED_KEYS = f"""
+SELECT doc_id,
+       {exact_key_sql('text')} AS exact_key,
+       {norm_key_sql('text')} AS norm_key
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q_partial_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2/J2: staged partial key (head+len+tail) per row."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select("doc_id", partial_key_col(F.col("text")).alias("partial_key"))
+
+
+SQL_PARTIAL_KEYS = f"""
+SELECT doc_id, {partial_key_sql('text')} AS partial_key
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q_size_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: size-blocking prefilter — rows whose n_chars collides."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    hot = (
+        d.groupBy("n_chars").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    ).select("n_chars")
+    return (
+        d.join(F.broadcast(hot), "n_chars", "left_semi")
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_SIZE_BLOCKING = """
+SELECT doc_id, n_chars FROM documents
+WHERE text IS NOT NULL AND n_chars IN (
+  SELECT n_chars FROM documents WHERE text IS NOT NULL
+  GROUP BY n_chars HAVING COUNT(*) > 1
+)
+"""
+
+
+def q_keep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: deterministic keep-window over normalized-key groups
+    (size desc, path asc — scanner.py:713-714)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    keyed = d.select(
+        "doc_id",
+        norm_key_col(F.col("text")).alias("norm_key"),
+        "n_chars",
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+    )
+    w = Window.partitionBy("norm_key").orderBy(
+        F.desc("n_chars"), F.asc("path")
+    )
+    return keyed.select(
+        "doc_id",
+        "norm_key",
+        F.row_number().over(w).alias("rn"),
+        (F.row_number().over(w) == 1).alias("is_keep"),
+    )
+
+
+SQL_KEEP_SELECTION = f"""
+WITH keyed AS (
+  SELECT doc_id, {norm_key_sql('text')} AS norm_key, n_chars,
+         'docs/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, norm_key,
+       ROW_NUMBER() OVER (PARTITION BY norm_key ORDER BY n_chars DESC, path ASC) AS rn,
+       (ROW_NUMBER() OVER (PARTITION BY norm_key ORDER BY n_chars DESC, path ASC) = 1) AS is_keep
+FROM keyed
+"""
+
+
+def q_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/S4: summary aggregates over normalized-key groups."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    keyed = d.select(norm_key_col(F.col("text")).alias("norm_key"), "n_chars")
+    w = Window.partitionBy("norm_key").orderBy(F.desc("n_chars"))
+    sel = keyed.withColumn("rn", F.row_number().over(w))
+    return sel.agg(
+        F.count("*").alias("total_files"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("duplicate_files"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "space_saveable"
+        ),
+        F.countDistinct("norm_key").alias("distinct_contents"),
+    )
+
+
+SQL_DUP_SUMMARY = f"""
+WITH keyed AS (
+  SELECT {norm_key_sql('text')} AS norm_key, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY {norm_key_sql('text')} ORDER BY n_chars DESC) AS rn
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total_files,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_files,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS space_saveable,
+       CAST(COUNT(DISTINCT norm_key) AS BIGINT) AS distinct_contents
+FROM keyed
+"""
+
+
+def q_unmatched_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: rows NOT in any exact-dup group (left_anti) — the
+    'remaining' set of the hybrid stage (scanner.py:557-560)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    keyed = d.select("doc_id", exact_key_col(F.col("text")).alias("k"))
+    dup_keys = keyed.groupBy("k").count().where(F.col("count") > 1).select("k")
+    return keyed.join(dup_keys, "k", "left_anti").select("doc_id")
+
+
+SQL_UNMATCHED_ANTI = f"""
+WITH keyed AS (
+  SELECT doc_id, {exact_key_sql('text')} AS k FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id FROM keyed
+WHERE k NOT IN (SELECT k FROM keyed GROUP BY k HAVING COUNT(*) > 1)
+"""
+
+
+def q_group_report_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/P3: groups (by n_chars-bucket as a stand-in key) ordered by
+    member count desc with a deterministic tie-break, top 20."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    g = d.groupBy(F.col("lang").alias("group_key")).agg(
+        F.count("*").alias("member_count"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    return g.orderBy(F.desc("member_count"), F.asc("group_key")).limit(20)
+
+
+SQL_GROUP_REPORT_ORDER = """
+SELECT lang AS group_key, COUNT(*) AS member_count, MIN(doc_id) AS min_doc_id
+FROM documents WHERE text IS NOT NULL
+GROUP BY lang ORDER BY member_count DESC, group_key ASC LIMIT 20
+"""
+
+
+# -- naming / scoring (F1-F4, A4) -------------------------------------------
+
+def _synthetic_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filename fixtures derived from doc_id — exercises
+    every branch of the naming truth table (naming.py:31-144)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    name = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("159"), (F.col("doc_id") * 7919 % 10000000).cast("string")))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("IMG_"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("2021-03-0"), ((F.col("doc_id") % 9) + 1).cast("string"), F.lit("_holiday")))
+        .when(F.col("doc_id") % 6 == 3, F.col("doc_id").cast("string"))
+        .when(F.col("doc_id") % 6 == 4, F.concat(F.lit("notes_meeting (" ), (F.col("doc_id") % 5).cast("string"), F.lit(")")))
+        .otherwise(F.concat(F.lit("report_final_"), F.col("lang")))
+    )
+    return d.select("doc_id", F.concat(name, F.lit(".txt")).alias("fname"))
+
+
+_SQL_NAMES_CTE = """
+WITH named AS (
+  SELECT doc_id,
+         (CASE
+            WHEN doc_id % 6 = 0 THEN '159' || CAST(doc_id * 7919 % 10000000 AS VARCHAR)
+            WHEN doc_id % 6 = 1 THEN 'IMG_' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 6 = 2 THEN '2021-03-0' || CAST((doc_id % 9) + 1 AS VARCHAR) || '_holiday'
+            WHEN doc_id % 6 = 3 THEN CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 6 = 4 THEN 'notes_meeting (' || CAST(doc_id % 5 AS VARCHAR) || ')'
+            ELSE 'report_final_' || lang
+          END) || '.txt' AS fname
+  FROM documents
+)
+"""
+
+
+def q_name_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4: meaningless classifier + readability score (×100 int)
+    + validated date prefix, per synthetic name."""
+    n = _synthetic_names(spark, sf_dir)
+    return n.select(
+        "doc_id",
+        is_meaningless(F.col("fname")).alias("meaningless"),
+        readability_score(F.col("fname")).cast("long").alias("score_x100"),
+        valid_ymd_prefix(F.col("fname")).alias("ymd_prefix"),
+    )
+
+
+SQL_NAME_SCORES = (
+    _SQL_NAMES_CTE
+    + f"""
+SELECT doc_id,
+       {is_meaningless_sql('fname')} AS meaningless,
+       CAST({readability_score_sql('fname')} AS BIGINT) AS score_x100,
+       {valid_ymd_prefix_sql('fname')} AS ymd_prefix
+FROM named
+"""
+)
+
+
+def q_best_name_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F3: per group (doc_id % 20) pick the best-scoring name —
+    ties by name desc, the reference's max() semantics."""
+    n = _synthetic_names(spark, sf_dir).withColumn(
+        "grp", (F.col("doc_id") % 20).cast("long")
+    )
+    scored = n.withColumn("score", readability_score(F.col("fname")).cast("long"))
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.desc("fname"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("grp", F.col("fname").alias("best_name"), "score")
+    )
+
+
+SQL_BEST_NAME_ARGMAX = (
+    _SQL_NAMES_CTE
+    + f"""
+, scored AS (
+  SELECT doc_id % 20 AS grp, fname,
+         CAST({readability_score_sql('fname')} AS BIGINT) AS score
+  FROM named
+)
+SELECT grp, fname AS best_name, score FROM (
+  SELECT grp, fname, score,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, fname DESC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+)
+
+
+def q_rename_conflict_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: conflict suffixing as a rank — files colliding on a target
+    stem get _0.._n suffixes (metadata.py:143-177 set-loop → window)."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    target = d.select(
+        "doc_id", F.col("lang").alias("stem"), (F.col("doc_id") % 3).alias("bucket")
+    )
+    w = Window.partitionBy("stem", "bucket").orderBy("doc_id")
+    rn = F.row_number().over(w)
+    return target.select(
+        "doc_id",
+        F.when(rn == 1, F.concat_ws("_", F.col("stem"), F.col("bucket").cast("string")))
+        .otherwise(
+            F.concat_ws(
+                "_", F.col("stem"), F.col("bucket").cast("string"), (rn - 2).cast("string")
+            )
+        )
+        .alias("final_name"),
+    )
+
+
+SQL_RENAME_CONFLICT_RANK = """
+WITH t AS (
+  SELECT doc_id, lang AS stem, doc_id % 3 AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY lang, doc_id % 3 ORDER BY doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CASE WHEN rn = 1 THEN stem || '_' || CAST(bucket AS VARCHAR)
+            ELSE stem || '_' || CAST(bucket AS VARCHAR) || '_' || CAST(rn - 2 AS VARCHAR)
+       END AS final_name
+FROM t
+"""
+
+
+# -- text analysis ------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("n_tokens"),
+        ts.distinct_token_count(F.col("text")).alias("n_distinct_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       {ts.token_count_sql('text')} AS n_tokens,
+       {ts.distinct_token_count_sql('text')} AS n_distinct_tokens
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select("doc_id", *ts.quality_counts(F.col("text")))
+
+
+SQL_QUALITY_COUNTS = (
+    "SELECT doc_id, "
+    + ", ".join(ts.quality_counts_sql("text"))
+    + " FROM documents WHERE text IS NOT NULL"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    hits = ts.lang_id_cols(F.col("text"))
+    out = d.select("doc_id", *hits)
+    return out.withColumn(
+        "pred_lang", ts.lang_id_pred([f"hits_{l}" for l in ("en", "de", "es", "fr")])
+    )
+
+
+def _sql_lang_id() -> str:
+    cols, pred = ts.lang_id_sql("text")
+    return (
+        "WITH h AS (SELECT doc_id, "
+        + ", ".join(cols)
+        + " FROM documents WHERE text IS NOT NULL) "
+        + f"SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, {pred} AS pred_lang FROM h"
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id", ts.token_set_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id, {ts.token_set_fingerprint_sql('text')} AS fingerprint
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# -- generic relational operators over the TPC-H-ish tables -------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style partial+final agg; decimal sums for cross-engine
+    determinism (no float accumulation order sensitivity)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + agg + deterministic top-k."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spent"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, COUNT(*) AS order_count,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC LIMIT 25
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch agg over the events table (the reference has no streaming
+    semantics — SURVEY.md §2.10 — so events are a plain batch source)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- embedding similarity ------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 50 vec_ids (exact ANN
+    baseline); integer-safe output via round to 6 decimals is still a
+    float, so we emit rank + match only (scores checked in pytest)."""
+    from photo_dedup_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 50)
+    out = cosine_topk_bruteforce(emb, queries, k=3)
+    return out.select("query_id", "rank", "match_id")
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 50),
+scored AS (
+  SELECT q.query_id, e.vec_id AS match_id,
+         list_cosine_similarity(q.qvec, e.embedding) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, match_id FROM (
+  SELECT query_id, match_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: pandas-UDF signatures, LSH,
+# iterative CC) — driver records a weaker rows-only check
+# ---------------------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from photo_dedup_spark.functions.normalize import normalize_col
+    from photo_dedup_spark.functions.signatures import make_signature_udfs
+
+    minhash_udf, simhash_udf, _ = make_signature_udfs(ENTRY_CONFIG)
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        minhash_udf(normalize_col(F.col("text"))).alias("minhash"),
+        simhash_udf(normalize_col(F.col("text"))).alias("simhash"),
+    )
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from photo_dedup_spark.functions.normalize import normalize_col
+    from photo_dedup_spark.functions.signatures import make_signature_udfs
+    from photo_dedup_spark.operators import lsh
+
+    minhash_udf, _, bands_udf = make_signature_udfs(ENTRY_CONFIG)
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    signed = d.select(
+        "doc_id", minhash_udf(normalize_col(F.col("text"))).alias("minhash")
+    ).withColumn("band_hashes", bands_udf(F.col("minhash")))
+    pairs, _stats = lsh.candidate_pairs(lsh.explode_bands(signed, ENTRY_CONFIG), ENTRY_CONFIG)
+    return pairs
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (signatures → LSH → verify → CC → keep window)."""
+    from photo_dedup_spark.pipeline import run_pipeline
+
+    files = _docs_as_files(spark, sf_dir)
+    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid")
+    return res.assignments.select("doc_id", "cluster_id", "rn", "is_keep")
+
+
+def q_action_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 plan rows over the pipeline output."""
+    from photo_dedup_spark.operators.plan import move_plan, rename_plan, sequence_plan
+    from photo_dedup_spark.pipeline import run_pipeline
+
+    files = _docs_as_files(spark, sf_dir)
+    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="exact")
+    sel = res.assignments
+    from photo_dedup_spark.operators.groups import dup_groups_only
+
+    dups = dup_groups_only(sel)
+    plan = move_plan(dups).unionByName(rename_plan(dups))
+    return sequence_plan(plan)
+
+
+def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from photo_dedup_spark.operators.similarity import cosine_topk_srp
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_srp(emb, k=3, n_bits=6, n_tables=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # dedup core (oracle-checked)
+        "exact_dup_groups": q_exact_dup_groups,
+        "normalized_keys": q_normalized_keys,
+        "partial_keys": q_partial_keys,
+        "size_blocking": q_size_blocking,
+        "keep_selection": q_keep_selection,
+        "dup_summary": q_dup_summary,
+        "unmatched_anti": q_unmatched_anti,
+        "group_report_order": q_group_report_order,
+        # naming / scoring
+        "name_scores": q_name_scores,
+        "best_name_argmax": q_best_name_argmax,
+        "rename_conflict_rank": q_rename_conflict_rank,
+        # text analysis
+        "token_stats": q_token_stats,
+        "quality_counts": q_quality_counts,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        # relational
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_rollup": q_events_rollup,
+        # similarity
+        "embedding_topk": q_embedding_topk,
+        # rows-only (non-SQL-expressible)
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "near_dup_clusters": q_near_dup_clusters,
+        "action_plan": q_action_plan,
+        "ann_srp_topk": q_ann_srp_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+        "normalized_keys": SQL_NORMALIZED_KEYS,
+        "partial_keys": SQL_PARTIAL_KEYS,
+        "size_blocking": SQL_SIZE_BLOCKING,
+        "keep_selection": SQL_KEEP_SELECTION,
+        "dup_summary": SQL_DUP_SUMMARY,
+        "unmatched_anti": SQL_UNMATCHED_ANTI,
+        "group_report_order": SQL_GROUP_REPORT_ORDER,
+        "name_scores": SQL_NAME_SCORES,
+        "best_name_argmax": SQL_BEST_NAME_ARGMAX,
+        "rename_conflict_rank": SQL_RENAME_CONFLICT_RANK,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_counts": SQL_QUALITY_COUNTS,
+        "lang_id": _sql_lang_id(),
+        "fingerprints": SQL_FINGERPRINTS,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+    }

@@ -1,0 +1,69 @@
+"""Frozen signature/shingle configuration.
+
+The reference pins its perceptual-match envelope with module constants
+(``DHASH_SIZE=16`` → 256-bit signature, ``HAMMING_THRESHOLD=20``,
+``RMS_THRESHOLD=8.0``, ``MAX_IMAGE_PIXELS=60_000_000``; see
+/root/reference/photo_dedup/hasher.py:28-40) and persists the settings
+dict into every report (scanner.py:869-876).  We mirror that with a
+frozen dataclass whose hash is stamped into every checkpoint and report
+— the "fixed shingle/signature config" of the north rule.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- signature layer (analog of hasher.py constants) ---
+    shingle_k: int = 7              # char shingles on normalized content
+    minhash_perms: int = 128        # MinHash signature length
+    lsh_bands: int = 32             # b
+    lsh_rows: int = 4               # r  (b*r must equal minhash_perms)
+    simhash_bits: int = 256         # = DHASH_SIZE**2 in the reference (hasher.py:32)
+    hamming_threshold: int = 20     # = HAMMING_THRESHOLD (hasher.py:36)
+    jaccard_threshold: float = 0.70 # stage-2 verify, analog of RMS_THRESHOLD (hasher.py:40)
+    containment_threshold: float = 0.90  # north-rule substring-containment verify
+    # --- degrade-don't-drop caps (analog of MAX_IMAGE_PIXELS, hasher.py:28) ---
+    content_cap_chars: int = 2 * 1024 * 1024  # oversize rows keep exact key only
+    # --- skew handling (north rule: explicit salting of hot LSH buckets) ---
+    salt_threshold: int = 1024      # bucket size above which pair-gen is salted
+    num_salts: int = 16             # salt cells per hot bucket
+    bucket_overflow_cap: int = 200_000  # beyond this: exact-only + logged drop
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_max_records: int = 2_000  # keep content batches ≲ 256 MiB
+    cc_max_iters: int = 50
+    cc_checkpoint_every: int = 3
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.minhash_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal minhash_perms ({self.minhash_perms})"
+            )
+        if self.simhash_bits % 64 != 0:
+            raise ValueError("simhash_bits must be a multiple of 64")
+
+    @property
+    def simhash_words(self) -> int:
+        return self.simhash_bits // 64
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def config_hash(self) -> str:
+        """Stable hash of the config, stamped into checkpoints/reports.
+
+        Analog of the reference persisting its settings dict into the
+        report (scanner.py:869-876) and the cleaner refusing to operate
+        on a mismatched report (cleaner.py:265-295).
+        """
+        blob = json.dumps(self.to_dict(), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,213 @@
+"""MinHash + SimHash signatures as vectorized pandas/Arrow UDFs.
+
+These replace the reference's perceptual signature layer:
+  * ``get_dhash`` — 256-bit dHash, resolution-invariant by construction
+    (/root/reference/photo_dedup/hasher.py:175-224) → :func:`simhash_udf`
+    (256-bit SimHash over char shingles of normalized content —
+    formatting-invariant by shingling normalized text), and
+  * the BK-tree searchability of those signatures (scanner.py:232-283)
+    → MinHash signatures banded for LSH (:func:`minhash_udf` +
+    operators/lsh.py), the Spark-native sub-quadratic candidate search.
+
+Everything is numpy over Arrow batches — no per-row Python (input_hint).
+Shingle hashing uses a polynomial rolling hash over UTF-8 bytes computed
+with a single uint64 mat-vec per window batch; MinHash permutations use
+multiply-shift hashing (wrapping uint64 multiply, top 32 bits), chunked
+so memory stays bounded for oversize documents.
+
+The same math is exposed in pure Python+numpy (``*_py``) for the
+sequential oracle and golden tests — bit-identical to the UDF output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+
+from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+from photo_dedup_spark.functions.normalize import normalize_py
+
+# ---------------------------------------------------------------------------
+# deterministic hash-family parameters (seeded; part of the frozen config)
+# ---------------------------------------------------------------------------
+
+_SEED = 42
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime, used as polynomial base
+
+_POPCNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(arr: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64/int64 array (numpy<2 compatible)."""
+    as_bytes = np.ascontiguousarray(arr).view(np.uint8).reshape(arr.shape + (8,))
+    return _POPCNT_LUT[as_bytes].sum(axis=-1).astype(np.int64)
+
+
+def hamming_py(a: np.ndarray, b: np.ndarray) -> int:
+    """Hamming distance between two multi-word signatures (int64 words)."""
+    xa = np.asarray(a, dtype=np.int64).view(np.uint64)
+    xb = np.asarray(b, dtype=np.int64).view(np.uint64)
+    return int(popcount64(xa ^ xb).sum())
+
+
+def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(_SEED)
+    # odd multipliers for multiply-shift universal hashing
+    a = rng.randint(1, 2**63, size=n_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**63, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+def _simhash_mixers(n_words: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(_SEED + 1)
+    a = rng.randint(1, 2**63, size=n_words, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**63, size=n_words, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit polynomial hashes of all k-char shingles (uint64).
+
+    Texts shorter than k yield a single hash of the whole text, so short
+    documents still carry a signature (degrade, don't drop —
+    hasher.py:109-119 contract).
+    """
+    data = text.encode("utf-8")
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if b.size < k:
+        h = 0
+        base = int(_POLY_BASE)
+        for byte in b:  # python-int math, wrapped mod 2**64 at the end
+            h = (h * base + int(byte) + 1) & 0xFFFFFFFFFFFFFFFF
+        return np.array([h], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    base = int(_POLY_BASE)
+    powers = np.array(
+        [pow(base, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )
+    # (+1 per byte so that NUL bytes still contribute to position)
+    hashes = (windows + np.uint64(1)) @ powers  # wraps mod 2**64
+    return np.unique(hashes)
+
+
+_SHINGLE_CHUNK = 1 << 16
+
+
+def minhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """128-perm MinHash signature (int32) of normalized *text*."""
+    sh = shingle_hashes(text, cfg.shingle_k)
+    a, b = _perm_params(cfg.minhash_perms)
+    if sh.size == 0:
+        return np.full(cfg.minhash_perms, np.iinfo(np.int32).max, dtype=np.int32)
+    mins = np.full(cfg.minhash_perms, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    for start in range(0, sh.size, _SHINGLE_CHUNK):
+        chunk = sh[start : start + _SHINGLE_CHUNK]
+        # (n, p) multiply-shift; wrapping uint64 arithmetic is intended
+        vals = chunk[:, None] * a[None, :] + b[None, :]
+        np.minimum(mins, vals.min(axis=0), out=mins)
+    return (mins >> np.uint64(33)).astype(np.int32)  # top 31 bits → non-neg int32
+
+
+def simhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """256-bit SimHash as ``simhash_words`` int64 words over shingles."""
+    sh = shingle_hashes(text, cfg.shingle_k)
+    w = cfg.simhash_words
+    if sh.size == 0:
+        return np.zeros(w, dtype=np.int64)
+    a, b = _simhash_mixers(w)
+    votes = np.zeros(cfg.simhash_bits, dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for start in range(0, sh.size, _SHINGLE_CHUNK):
+        chunk = sh[start : start + _SHINGLE_CHUNK]
+        for wi in range(w):
+            mixed = chunk * a[wi] + b[wi]  # wrapping mix per word
+            bits = (mixed[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes[wi * 64 : (wi + 1) * 64] += 2 * bits.sum(axis=0, dtype=np.int64) - len(chunk)
+    out = np.zeros(w, dtype=np.uint64)
+    for wi in range(w):
+        word_bits = (votes[wi * 64 : (wi + 1) * 64] > 0).astype(np.uint64)
+        out[wi] = np.bitwise_or.reduce(word_bits << bit_idx)
+    return out.view(np.int64)
+
+
+def band_hashes_py(sig: np.ndarray, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Collapse a MinHash signature into ``lsh_bands`` 64-bit band keys."""
+    r = cfg.lsh_rows
+    rows = sig.astype(np.uint64).reshape(cfg.lsh_bands, r)
+    h = np.full(cfg.lsh_bands, np.uint64(1469598103934665603), dtype=np.uint64)  # FNV offset
+    for j in range(r):
+        h = (h ^ rows[:, j]) * _POLY_BASE
+    return h.view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF factories (Arrow-batched; Series -> Series)
+# ---------------------------------------------------------------------------
+
+def make_signature_udfs(cfg: DedupConfig = DEFAULT_CONFIG):
+    """Build (minhash_udf, simhash_udf, bands_udf) bound to *cfg*.
+
+    minhash/simhash take the **normalized** content string; bands take
+    the minhash signature array.  Null/oversize handling happens in the
+    caller (operators/lsh.py) so these stay pure.
+    """
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def minhash_udf(content: pd.Series) -> pd.Series:
+        out = [
+            None if t is None else minhash_py(t, cfg).tolist()
+            for t in content
+        ]
+        return pd.Series(out)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def simhash_udf(content: pd.Series) -> pd.Series:
+        out = [
+            None if t is None else simhash_py(t, cfg).tolist()
+            for t in content
+        ]
+        return pd.Series(out)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bands_udf(sig: pd.Series) -> pd.Series:
+        out = [
+            None
+            if s is None
+            else band_hashes_py(np.asarray(s, dtype=np.int64), cfg).tolist()
+            for s in sig
+        ]
+        return pd.Series(out)
+
+    return minhash_udf, simhash_udf, bands_udf
+
+
+# Oracle-side helper: true Jaccard of shingle sets (used by the
+# sequential oracle and the verify stage's python twin).
+def jaccard_py(a: str, b: str, cfg: DedupConfig = DEFAULT_CONFIG) -> float:
+    sa = shingle_hashes(a, cfg.shingle_k)
+    sb = shingle_hashes(b, cfg.shingle_k)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / float(sa.size + sb.size - inter)
+
+
+def containment_py(a: str, b: str, cfg: DedupConfig = DEFAULT_CONFIG) -> float:
+    """max containment of the smaller shingle set in the larger one."""
+    sa = shingle_hashes(a, cfg.shingle_k)
+    sb = shingle_hashes(b, cfg.shingle_k)
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    small, big = (sa, sb) if sa.size <= sb.size else (sb, sa)
+    inter = np.intersect1d(small, big, assume_unique=True).size
+    return inter / float(small.size)
+
+
+def normalized_pair_py(a: str, b: str) -> tuple[str, str]:
+    return normalize_py(a), normalize_py(b)

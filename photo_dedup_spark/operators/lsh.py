@@ -1,0 +1,159 @@
+"""LSH banding + skew-salted candidate self-join.
+
+Replaces the reference's BK-tree radius search (the sub-quadratic
+candidate stage, /root/reference/photo_dedup/scanner.py:232-283,
+consumed at scanner.py:359-368) with the Spark-native equivalent:
+explode MinHash band keys, **repartition by band-hash** (north rule),
+and self-join within buckets.  Skewed buckets (license boilerplate,
+vendored libs) are handled explicitly:
+
+  * buckets with ``count <= salt_threshold``      → plain self-join,
+  * ``salt_threshold < count <= overflow_cap``    → salted pair-cells:
+      each member gets ``salt = pmod(xxhash64(doc_id), S)``; the pair
+      space is tiled into (i <= j) salt cells so a bucket of n rows
+      becomes ~S²/2 tasks of ~(n/S)² pairs instead of one n² task,
+  * ``count > overflow_cap``                      → dropped from the
+      near-dup path with a **logged metric** (degrade-don't-drop:
+      members keep their exact keys; mirrors the reference's oversize
+      fallback contract, hasher.py:109-119).
+
+A SimHash-prefix candidate path (16-bit chunks of the 256-bit
+fingerprint, the "join on SimHash prefixes" variant of SURVEY.md §2.4
+J3) is unioned in for hamming-close pairs that MinHash banding misses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def explode_bands(signed: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, band_hashes) -> (doc_id, band_id, band_hash), nulls dropped."""
+    return (
+        signed.where(F.col("band_hashes").isNotNull())
+        .select("doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash"))
+    )
+
+
+def explode_simhash_chunks(
+    signed: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(doc_id, simhash) -> (doc_id, band_id, band_hash) over 16-bit chunks.
+
+    Chunk c of word w is ``(simhash[w] >> (16*c)) & 0xFFFF``; band_id is
+    offset past the MinHash band range so the two candidate paths can be
+    unioned into one bucket table.
+    """
+    n_words = cfg.simhash_words
+    chunks = []
+    for w in range(n_words):
+        for c in range(4):
+            band_id = cfg.lsh_bands + w * 4 + c
+            chunks.append(
+                F.struct(
+                    F.lit(band_id).alias("band_id"),
+                    (
+                        F.shiftrightunsigned(F.col("simhash").getItem(w), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                    ).alias("band_hash"),
+                )
+            )
+    return (
+        signed.where(F.col("simhash").isNotNull())
+        .select("doc_id", F.explode(F.array(*chunks)).alias("ch"))
+        .select("doc_id", F.col("ch.band_id").alias("band_id"), F.col("ch.band_hash").alias("band_hash"))
+    )
+
+
+def bucket_census(banded: DataFrame) -> DataFrame:
+    """Per-(band_id, band_hash) member counts — the skew census that
+    drives salting decisions and the bucket-histogram metric."""
+    return banded.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_n"))
+
+
+def candidate_pairs(
+    banded: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct candidate (src, dst) pairs (src < dst) from bucket
+    self-joins, with explicit skew salting.
+
+    Returns (pairs, bucket_stats) where bucket_stats carries the census
+    with each bucket's routing (``plain`` / ``salted`` / ``overflow``)
+    for the metrics sink — overflow drops are never silent.
+    """
+    census = bucket_census(banded)
+    routed = census.withColumn(
+        "route",
+        F.when(F.col("bucket_n") > cfg.bucket_overflow_cap, F.lit("overflow"))
+        .when(F.col("bucket_n") > cfg.salt_threshold, F.lit("salted"))
+        .when(F.col("bucket_n") >= 2, F.lit("plain"))
+        .otherwise(F.lit("singleton")),
+    )
+
+    tagged = banded.join(
+        F.broadcast(routed.where(F.col("route").isin("plain", "salted"))),
+        on=["band_id", "band_hash"],
+    )
+
+    # --- plain buckets: repartition by band key, then in-bucket self-join
+    plain = tagged.where(F.col("route") == "plain").select(
+        "band_id", "band_hash", "doc_id"
+    )
+    if num_partitions:
+        plain = plain.repartition(num_partitions, "band_id", "band_hash")
+    a, b = plain.alias("a"), plain.alias("b")
+    plain_pairs = a.join(
+        b,
+        on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+
+    # --- hot buckets: salt-cell tiling of the pair space
+    s = cfg.num_salts
+    hot = (
+        tagged.where(F.col("route") == "salted")
+        .select("band_id", "band_hash", "doc_id")
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(s)).cast("int"))
+    )
+    # left occurrence of row with salt i covers cells (i, j) for j >= i;
+    # right occurrence of row with salt j covers cells (i, j) for i <= j.
+    left = hot.withColumn(
+        "cell_j", F.explode(F.sequence(F.col("salt"), F.lit(s - 1)))
+    ).withColumnRenamed("salt", "cell_i")
+    right = hot.withColumn(
+        "cell_i", F.explode(F.sequence(F.lit(0), F.col("salt")))
+    ).withColumnRenamed("salt", "cell_j")
+    if num_partitions:
+        left = left.repartition(num_partitions, "band_id", "band_hash", "cell_i", "cell_j")
+    # NOTE: orientation inside a cell is (salt order), not (doc_id order) —
+    # a pair whose doc_id order opposes its salt order only appears as
+    # (bigger_id, smaller_id), so normalize with least/greatest rather
+    # than filtering on a.doc_id < b.doc_id (which would lose it).
+    salted_pairs = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.cell_i") == F.col("b.cell_i"),
+                F.col("a.cell_j") == F.col("b.cell_j"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("src"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dst"),
+        )
+    )
+
+    pairs = plain_pairs.unionByName(salted_pairs).distinct()
+    return pairs, routed

@@ -1,0 +1,138 @@
+"""Action-plan generation — the clean/undo phase as pure DataFrames.
+
+The reference mutates a filesystem (cleaner.py Phase A/B/C); we compute
+*what to do* as an ordered, reversible plan (SURVEY.md §2.11).  The
+decision logic reproduced:
+
+  C1 Phase A moves: delete-members move to a structure-preserving
+     backup subtree; name collisions inside the backup dir get a
+     ``_dupN`` suffix (cleaner.py:722-795, suffixing 756-764).
+  C2 Phase B renames: keep-files whose group has a better name are
+     renamed; conflicts with paths outside the rename set are skipped
+     (cleaner.py:823-837); chained renames (A→B while B→C) are made
+     safe by two-phase temp hops (cleaner.py:797-919).
+  C4 undo: the inverse plan replays events in reverse sequence order
+     (cleaner.py:1196-1248).
+
+Every plan row carries a monotonically increasing ``seq`` so the event
+order (and its reverse) is total and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.functions.naming import is_meaningless, readability_score
+
+BACKUP_DIR = "_duplicates_backup"  # utils.py:7 / cleaner.py default
+
+
+def move_plan(selected: DataFrame) -> DataFrame:
+    """C1: one ``move`` row per delete-member.
+
+    dst = BACKUP_DIR/<original path>, with a value-based ``_dupN``
+    suffix when several sources collapse onto one backup basename
+    (rank within (dst) ordered by src — deterministic, partition-free).
+    """
+    deletes = selected.where(~F.col("is_keep")).select(
+        F.col("cluster_id"), F.col("path").alias("src"), F.col("n_chars")
+    )
+    base_dst = F.concat(F.lit(BACKUP_DIR + "/"), F.col("src"))
+    planned = deletes.withColumn("base_dst", base_dst)
+    w = Window.partitionBy("base_dst").orderBy("src", "cluster_id")
+    return (
+        planned.withColumn("collide_rn", F.row_number().over(w))
+        .withColumn(
+            "dst",
+            F.when(F.col("collide_rn") == 1, F.col("base_dst")).otherwise(
+                F.concat_ws(
+                    "_dup",
+                    F.col("base_dst"),
+                    (F.col("collide_rn") - 1).cast("string"),
+                )
+            ),
+        )
+        .select(
+            F.lit("move").alias("action"),
+            "cluster_id",
+            "src",
+            "dst",
+        )
+    )
+
+
+def rename_plan(selected: DataFrame) -> DataFrame:
+    """C2 + F3: rename each keep-file to the group's best member name.
+
+    Best name = argmax readability score over member basenames, ties by
+    name desc (the reference's ``max`` tie semantics, naming.py:164-167);
+    the keep-file's extension is ALWAYS preserved (naming.py:173-174).
+    Renames where best == current are dropped.  Conflict handling with
+    paths outside the group is plan-level: a rename whose target equals
+    any surviving path is marked ``skip`` (cleaner.py:823-837).
+    """
+    members = selected.select(
+        "cluster_id", "path", "is_keep", readability_score(F.col("path")).alias("score")
+    )
+    stem = F.regexp_replace(
+        F.regexp_replace(F.element_at(F.split("path", "/"), -1), r"\.[A-Za-z0-9]+$", ""),
+        r" \([0-9]+\)$",
+        "",
+    )
+    scored = members.withColumn("stem", stem)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("score"), F.desc("stem"))
+    best = (
+        scored.withColumn("brn", F.row_number().over(w))
+        .where(F.col("brn") == 1)
+        .select("cluster_id", F.col("stem").alias("best_stem"))
+    )
+    keeps = selected.where(F.col("is_keep")).select("cluster_id", "path")
+    keep_dir = F.when(
+        F.instr(F.col("path"), "/") > 0,
+        F.expr("substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)))"),
+    ).otherwise(F.lit(""))
+    keep_ext = F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\.[A-Za-z0-9]+)$", 1)
+    proposals = (
+        keeps.join(best, "cluster_id")
+        .withColumn("dst", F.concat(keep_dir, F.col("best_stem"), keep_ext))
+        .where(F.col("dst") != F.col("path"))
+        .select(
+            F.lit("rename").alias("action"),
+            "cluster_id",
+            F.col("path").alias("src"),
+            "dst",
+        )
+    )
+    # conflict rule: target collides with a surviving path that is not
+    # itself being renamed away → skip (cleaner.py:823-837)
+    survivors = selected.where(F.col("is_keep")).select(F.col("path").alias("dst"))
+    moving_away = proposals.select(F.col("src").alias("dst"))
+    blocked = survivors.exceptAll(moving_away)
+    return proposals.join(blocked, "dst", "left_anti").unionByName(
+        proposals.join(blocked, "dst", "left_semi").withColumn(
+            "action", F.lit("skip")
+        )
+    )
+
+
+def sequence_plan(plan: DataFrame) -> DataFrame:
+    """Assign the total event order: moves before renames (Phase A then
+    B, cleaner.py:718-919), then (src) — deterministic and value-based."""
+    phase = F.when(F.col("action") == "move", 0).otherwise(1)
+    w = Window.orderBy(phase, "src", "dst")
+    return plan.withColumn("seq", F.row_number().over(w))
+
+
+def undo_plan(plan: DataFrame) -> DataFrame:
+    """C4: inverse plan — reverse order, src/dst swapped; ``skip`` rows
+    drop out (they did nothing)."""
+    doable = plan.where(F.col("action") != "skip")
+    n = doable.count()
+    return doable.select(
+        F.concat(F.lit("undo_"), F.col("action")).alias("action"),
+        "cluster_id",
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        (F.lit(n + 1) - F.col("seq")).alias("seq"),
+    )

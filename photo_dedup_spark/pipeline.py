@@ -1,0 +1,170 @@
+"""End-to-end near-duplicate detection pipeline (reference ``scan``).
+
+Stage map (SURVEY.md §3.1, mirroring /root/reference/photo_dedup/
+scanner.py:815-978 stage by stage, Spark-first):
+
+  0 ingest      project (doc_id, repo, path, lang, n_chars, content);
+                NULL content dropped with a counted error
+                (scanner.py:471-479 drop-and-count contract)
+  1 exact       raw + normalized sha256 keys (H1/H3/H4)
+  2 signatures  MinHash + SimHash pandas UDFs on exact-group
+                representatives + singletons only (J6 rep pattern);
+                oversize rows fall back to exact-only (hasher.py:109-119)
+  3 candidates  LSH band + SimHash-prefix buckets, repartitioned and
+                skew-salted self-join (J3), pair dedup
+  4 verify      Jaccard/containment pandas UDF + JVM-side Hamming (J5/J8)
+  5 components  exact star edges ∪ verified near edges → iterative
+                min-label propagation (subsumes hybrid merge J6)
+  6 groups      keep-window (W1), dup filter (P3), report structs (S4),
+                summary aggregates (A2)
+
+``mode='exact'`` reproduces the reference's ``--no-pixel`` behavior
+(scanner.py:861-867 forces exact matching): stages 2-5 are skipped and
+clusters are the normalized-key groups.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+from photo_dedup_spark.functions.keys import exact_key_col, norm_key_col
+from photo_dedup_spark.functions.normalize import normalize_col
+from photo_dedup_spark.functions.signatures import make_signature_udfs
+from photo_dedup_spark.operators import lsh
+from photo_dedup_spark.operators.components import connected_components, exact_star_edges
+from photo_dedup_spark.operators.groups import keep_selection
+from photo_dedup_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class PipelineResult:
+    assignments: DataFrame  # (doc_id, repo, path, lang, n_chars, cluster_id, rn, is_keep)
+    edges: DataFrame | None
+    metrics: dict
+
+
+def ingest(files: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> tuple[DataFrame, dict]:
+    """Stage 0: stable doc ids + null handling.
+
+    doc_id = xxhash64(repo, path, commit) — value-based, deterministic
+    under any partitioning.  (At true 10^12 scale this would widen to a
+    128-bit key; 64-bit collision odds at 10^9 docs are ~2.7e-2 so the
+    id also carries (repo, path) through the pipeline for tie-breaks.)
+    """
+    n_total = files.count()
+    good = files.where(F.col("content").isNotNull())
+    n_null = n_total - good.count()
+    docs = good.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "repo",
+        "path",
+        "lang",
+        F.col("content"),
+        F.length("content").alias("n_chars"),
+    )
+    return docs, {"rows_in": n_total, "null_content_dropped": n_null}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    mode: str = "hybrid",  # 'exact' | 'hybrid'  (scanner.py:861-867)
+) -> PipelineResult:
+    metrics: dict = {"mode": mode, "config_hash": cfg.config_hash()}
+
+    docs, ing_m = ingest(files, cfg)
+    metrics.update(ing_m)
+
+    # --- stage 1: exact + normalized keys (pure built-ins, codegen'd)
+    keyed = docs.select(
+        "doc_id",
+        "repo",
+        "path",
+        "lang",
+        "n_chars",
+        "content",
+        exact_key_col(F.col("content")).alias("exact_key"),
+        norm_key_col(F.col("content")).alias("norm_key"),
+    )
+    keyed = keyed.localCheckpoint(eager=True)
+
+    # exact star edges always exist (normalized-equality groups);
+    # in mode='exact' they are the ONLY edges, so components are exactly
+    # the normalized-key groups (the --no-pixel semantics)
+    star = exact_star_edges(keyed, "norm_key")
+
+    edges = star
+    if mode == "hybrid":
+        # --- stage 2: signatures on group representatives + singletons.
+        # Representative pattern (J6, scanner.py:549-567): one signature
+        # per distinct normalized content; members ride along via the
+        # star edges.  Oversize rows keep exact keys only
+        # (degrade-don't-drop, hasher.py:109-119).
+        reps = (
+            keyed.withColumn(
+                "rep_rn",
+                F.row_number().over(
+                    Window.partitionBy("norm_key").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("rep_rn") == 1)
+            .drop("rep_rn")
+        )
+        n_reps = reps.count()
+        eligible = reps.where(F.col("n_chars") <= cfg.content_cap_chars)
+        n_oversize = n_reps - eligible.count()
+        metrics["signature_reps"] = n_reps
+        metrics["oversize_exact_only"] = n_oversize
+
+        minhash_udf, simhash_udf, bands_udf = make_signature_udfs(cfg)
+        signed = (
+            eligible.select(
+                "doc_id", normalize_col(F.col("content")).alias("norm_content")
+            )
+            .withColumn("minhash", minhash_udf(F.col("norm_content")))
+            .withColumn("simhash", simhash_udf(F.col("norm_content")))
+            .withColumn("band_hashes", bands_udf(F.col("minhash")))
+        )
+        signed = signed.localCheckpoint(eager=True)
+
+        # --- stage 3: candidates (LSH bands ∪ SimHash prefixes)
+        banded = lsh.explode_bands(signed, cfg).unionByName(
+            lsh.explode_simhash_chunks(signed, cfg)
+        )
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pairs, bucket_stats = lsh.candidate_pairs(banded, cfg, num_partitions=shuffle_n)
+        route_counts = {
+            r["route"]: r["n"]
+            for r in bucket_stats.groupBy("route")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        metrics["lsh_bucket_routes"] = route_counts
+        n_pairs = pairs.count()
+        metrics["candidate_pairs"] = n_pairs
+
+        # --- stage 4: verify
+        verified = verify_pairs(pairs, signed, cfg)
+        near_edges = verified.where(F.col("is_edge")).select("src", "dst")
+        near_edges = near_edges.localCheckpoint(eager=True)
+        metrics["verified_edges"] = near_edges.count()
+        edges = star.unionByName(near_edges)
+
+    # --- stage 5: connected components
+    nodes = keyed.select("doc_id")
+    labels, cc_m = connected_components(nodes, edges, cfg)
+    metrics.update(cc_m)
+
+    # --- stage 6: keep-selection over members
+    members = keyed.select("doc_id", "repo", "path", "lang", "n_chars").join(
+        labels, "doc_id"
+    )
+    selected = keep_selection(members)
+    metrics["clusters"] = labels.select("cluster_id").distinct().count()
+
+    return PipelineResult(assignments=selected, edges=edges, metrics=metrics)
