@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from photo_dedup_spark.pipeline import run_pipeline
 
     files = _docs_as_files(spark, "/root/testdata/sf0.001")
-    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid")
+    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid", collect_metrics=False)
     return res.assignments.select(
         "doc_id", "repo", "path", "n_chars", "cluster_id", "rn", "is_keep"
     )
@@ -587,7 +587,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_dedup_spark.pipeline import run_pipeline
 
     files = _docs_as_files(spark, sf_dir)
-    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid")
+    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid", collect_metrics=False)
     return res.assignments.select("doc_id", "cluster_id", "rn", "is_keep")
 
 

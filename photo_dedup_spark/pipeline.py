@@ -47,7 +47,11 @@ class PipelineResult:
     metrics: dict
 
 
-def ingest(files: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> tuple[DataFrame, dict]:
+def ingest(
+    files: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    collect_metrics: bool = True,
+) -> tuple[DataFrame, dict]:
     """Stage 0: stable doc ids + null handling.
 
     doc_id = xxhash64(repo, path, commit) — value-based, deterministic
@@ -55,9 +59,15 @@ def ingest(files: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> tuple[DataFra
     128-bit key; 64-bit collision odds at 10^9 docs are ~2.7e-2 so the
     id also carries (repo, path) through the pipeline for tie-breaks.)
     """
-    n_total = files.count()
+    m: dict = {}
+    if collect_metrics:
+        # single pass: count(*) vs count(content) gives the null count
+        # without a second scan (scanner.py:471-479 error counting)
+        c = files.agg(
+            F.count("*").alias("n"), F.count("content").alias("nc")
+        ).collect()[0]
+        m = {"rows_in": c.n, "null_content_dropped": c.n - c.nc}
     good = files.where(F.col("content").isNotNull())
-    n_null = n_total - good.count()
     docs = good.select(
         F.xxhash64("repo", "path", "commit").alias("doc_id"),
         "repo",
@@ -66,7 +76,7 @@ def ingest(files: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> tuple[DataFra
         F.col("content"),
         F.length("content").alias("n_chars"),
     )
-    return docs, {"rows_in": n_total, "null_content_dropped": n_null}
+    return docs, m
 
 
 def run_pipeline(
@@ -74,10 +84,14 @@ def run_pipeline(
     files: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     mode: str = "hybrid",  # 'exact' | 'hybrid'  (scanner.py:861-867)
+    collect_metrics: bool = True,
 ) -> PipelineResult:
+    """*collect_metrics=False* skips the optional telemetry counts —
+    each one is an extra Spark job re-running part of the lineage
+    (convergence counts inside CC are intrinsic and always run)."""
     metrics: dict = {"mode": mode, "config_hash": cfg.config_hash()}
 
-    docs, ing_m = ingest(files, cfg)
+    docs, ing_m = ingest(files, cfg, collect_metrics)
     metrics.update(ing_m)
 
     # --- stage 1: exact + normalized keys (pure built-ins, codegen'd)
@@ -115,11 +129,11 @@ def run_pipeline(
             .where(F.col("rep_rn") == 1)
             .drop("rep_rn")
         )
-        n_reps = reps.count()
         eligible = reps.where(F.col("n_chars") <= cfg.content_cap_chars)
-        n_oversize = n_reps - eligible.count()
-        metrics["signature_reps"] = n_reps
-        metrics["oversize_exact_only"] = n_oversize
+        if collect_metrics:
+            n_reps = reps.count()
+            metrics["signature_reps"] = n_reps
+            metrics["oversize_exact_only"] = n_reps - eligible.count()
 
         minhash_udf, simhash_udf, bands_udf = make_signature_udfs(cfg)
         signed = (
@@ -138,21 +152,21 @@ def run_pipeline(
         )
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         pairs, bucket_stats = lsh.candidate_pairs(banded, cfg, num_partitions=shuffle_n)
-        route_counts = {
-            r["route"]: r["n"]
-            for r in bucket_stats.groupBy("route")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        metrics["lsh_bucket_routes"] = route_counts
-        n_pairs = pairs.count()
-        metrics["candidate_pairs"] = n_pairs
+        if collect_metrics:
+            metrics["lsh_bucket_routes"] = {
+                r["route"]: r["n"]
+                for r in bucket_stats.groupBy("route")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            metrics["candidate_pairs"] = pairs.count()
 
         # --- stage 4: verify
         verified = verify_pairs(pairs, signed, cfg)
         near_edges = verified.where(F.col("is_edge")).select("src", "dst")
         near_edges = near_edges.localCheckpoint(eager=True)
-        metrics["verified_edges"] = near_edges.count()
+        if collect_metrics:
+            metrics["verified_edges"] = near_edges.count()
         edges = star.unionByName(near_edges)
 
     # --- stage 5: connected components
@@ -165,6 +179,7 @@ def run_pipeline(
         labels, "doc_id"
     )
     selected = keep_selection(members)
-    metrics["clusters"] = labels.select("cluster_id").distinct().count()
+    if collect_metrics:
+        metrics["clusters"] = labels.select("cluster_id").distinct().count()
 
     return PipelineResult(assignments=selected, edges=edges, metrics=metrics)

@@ -1,0 +1,123 @@
+"""Naming truth table + text-stats operators (reference TestNaming /
+TestIsMeaningless, /root/reference/tests/test_core.py:165-264)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.functions.naming import (
+    is_meaningless,
+    readability_score,
+    valid_ymd_prefix,
+)
+from photo_dedup_spark.functions import textstats as ts
+
+
+def _score_names(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select(
+        "name",
+        is_meaningless(F.col("name")).alias("m"),
+        readability_score(F.col("name")).alias("s"),
+        valid_ymd_prefix(F.col("name")).alias("d"),
+    ).collect()
+    return {r.name: r for r in rows}
+
+
+class TestIsMeaningless:
+    """Truth table per naming.py:31-79."""
+
+    def test_table(self, spark):
+        got = _score_names(
+            spark,
+            [
+                "12345.jpg",            # pure number → meaningless
+                "1609753382985.jpeg",   # timestamp → meaningless
+                "2021-03-05_trip.jpg",  # date prefix → meaningful
+                "IMG_4321.jpg",         # camera prefix → meaningful
+                "family_dinner.jpg",    # descriptive → meaningful
+                "photo (3).jpg",        # copy suffix stripped, alpha → meaningful
+                "___.jpg",              # no alpha → meaningless
+            ],
+        )
+        assert got["12345.jpg"].m is True
+        assert got["1609753382985.jpeg"].m is True
+        assert got["2021-03-05_trip.jpg"].m is False
+        assert got["IMG_4321.jpg"].m is False
+        assert got["family_dinner.jpg"].m is False
+        assert got["photo (3).jpg"].m is False
+        assert got["___.jpg"].m is True
+
+
+class TestReadabilityScore:
+    """Ordering invariants (test_core.py:165-220 analogs)."""
+
+    def test_date_beats_timestamp(self, spark):
+        got = _score_names(spark, ["2021-03-05_trip.jpg", "1609753382985.jpg"])
+        assert got["2021-03-05_trip.jpg"].s > got["1609753382985.jpg"].s
+
+    def test_copy_suffix_penalized(self, spark):
+        got = _score_names(spark, ["dinner.jpg", "dinner (2).jpg"])
+        assert got["dinner.jpg"].s > got["dinner (2).jpg"].s
+
+    def test_descriptive_beats_short_number(self, spark):
+        got = _score_names(spark, ["beach_day.jpg", "42.jpg"])
+        assert got["beach_day.jpg"].s > got["42.jpg"].s
+
+    def test_date_prefix_extraction_validates_ranges(self, spark):
+        got = _score_names(
+            spark, ["2021-13-05_x.jpg", "2021-12-31_x.jpg", "1899-01-01_x.jpg"]
+        )
+        assert got["2021-13-05_x.jpg"].d == ""     # month 13 invalid
+        assert got["2021-12-31_x.jpg"].d == "2021-12-31"
+        assert got["1899-01-01_x.jpg"].d == ""     # year < 1900
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [("a b  c",), ("",), ("   ",), ("one one one",)], "text string"
+        )
+        rows = df.select(
+            ts.token_count(F.col("text")).alias("n"),
+            ts.distinct_token_count(F.col("text")).alias("d"),
+        ).collect()
+        assert [(r.n, r.d) for r in rows] == [(3, 3), (0, 0), (0, 0), (3, 1)]
+
+    def test_quality_counts(self, spark):
+        df = spark.createDataFrame([("Ab1!\nx",)], "text string")
+        r = df.select(*ts.quality_counts(F.col("text"))).collect()[0]
+        assert r.q_len == 6
+        assert r.q_tokens == 2
+        assert r.q_punct == 1   # '!'
+        assert r.q_digits == 1
+        assert r.q_upper == 1
+        assert r.q_lines == 2
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat and the dog is here",),
+                ("der hund und die katze ist",),
+                ("xyzzy qwerty",),
+            ],
+            "text string",
+        )
+        out = df.select(
+            *ts.lang_id_cols(F.col("text"))
+        ).withColumn(
+            "pred", ts.lang_id_pred(["hits_en", "hits_de", "hits_es", "hits_fr"])
+        )
+        assert [r.pred for r in out.collect()] == ["en", "de", "und"]
+
+    def test_fingerprint_order_invariant(self, spark):
+        df = spark.createDataFrame(
+            [("b a c",), ("c b a",), ("a a b c",), ("a d",)], "text string"
+        )
+        fps = [
+            r.f
+            for r in df.select(
+                ts.token_set_fingerprint(F.col("text")).alias("f")
+            ).collect()
+        ]
+        assert fps[0] == fps[1] == fps[2]
+        assert fps[3] != fps[0]

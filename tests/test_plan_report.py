@@ -1,0 +1,201 @@
+"""Action-plan + report semantics (reference clean-phase, TestEndToEnd
+/ TestPhaseC analogs from /root/reference/tests/test_core.py:341-1386,
+handcrafted-fixture style per FIXTURES.md §3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.operators.groups import (
+    build_report_groups,
+    dup_groups_only,
+    keep_selection,
+    summary_aggregates,
+)
+from photo_dedup_spark.operators.plan import (
+    BACKUP_DIR,
+    move_plan,
+    rename_plan,
+    sequence_plan,
+    undo_plan,
+)
+from photo_dedup_spark.sources.report import (
+    InvalidReportError,
+    load_report,
+    validate_report_paths,
+    write_report,
+)
+
+MEMBER_SCHEMA = "doc_id long, cluster_id long, path string, n_chars long"
+
+
+@pytest.fixture()
+def selected(spark):
+    rows = [
+        # cluster 1: keep big.py, delete copy (same basename → collision)
+        (1, 1, "a/big.py", 100),
+        (2, 1, "b/big.py", 90),
+        (3, 1, "c/big.py", 90),
+        # cluster 2: tie on size → lexicographic path keeps "a/x (1).py"?
+        # no: copy-suffix name scores lower but W1 only orders by path
+        (4, 2, "d/zzz.py", 50),
+        (5, 2, "d/aaa (1).py", 50),
+        # singleton cluster (filtered out of dup reports)
+        (6, 3, "lonely.py", 10),
+    ]
+    df = spark.createDataFrame(rows, MEMBER_SCHEMA)
+    return keep_selection(df)
+
+
+class TestKeepSelection:
+    def test_keep_is_largest_then_path(self, selected):
+        keeps = {
+            r.cluster_id: r.path
+            for r in selected.where(F.col("is_keep")).collect()
+        }
+        assert keeps[1] == "a/big.py"
+        assert keeps[2] == "d/aaa (1).py"  # tie → path asc (scanner.py:714)
+
+    def test_dup_filter_removes_singletons(self, selected):
+        dups = dup_groups_only(selected)
+        assert dups.where(F.col("cluster_id") == 3).count() == 0
+
+    def test_summary(self, selected):
+        s = summary_aggregates(selected, total_files=6).collect()[0]
+        assert s.duplicate_groups == 2
+        assert s.duplicate_files == 3  # 2 in c1 + 1 in c2
+        assert s.space_saveable == 90 + 90 + 50
+        assert s.files_remaining == 3
+
+
+class TestMovePlan:
+    def test_structure_preserving_and_collision_suffix(self, selected):
+        dups = dup_groups_only(selected)
+        mp = {r.src: r.dst for r in move_plan(dups).collect()}
+        assert mp["b/big.py"] == f"{BACKUP_DIR}/b/big.py"
+        assert mp["c/big.py"] == f"{BACKUP_DIR}/c/big.py"
+        assert mp["d/zzz.py"] == f"{BACKUP_DIR}/d/zzz.py"
+
+    def test_collision_gets_dupN(self, spark):
+        # two different clusters deleting the same relative path
+        rows = [
+            (1, 1, "x/f.py", 10),
+            (2, 1, "same/f.py", 5),
+            (3, 2, "y/f.py", 10),
+            (4, 2, "same/f.py2", 5),  # distinct path, no collision
+        ]
+        # force a collision by duplicating dst: two rows with path 'same/f.py'
+        rows = [
+            (1, 1, "keep1.py", 10),
+            (2, 1, "same/f.py", 5),
+            (3, 2, "keep2.py", 10),
+            (4, 2, "same/f.py", 5),
+        ]
+        df = keep_selection(spark.createDataFrame(rows, MEMBER_SCHEMA))
+        dups = dup_groups_only(df)
+        dsts = sorted(r.dst for r in move_plan(dups).collect())
+        assert dsts == [
+            f"{BACKUP_DIR}/same/f.py",
+            f"{BACKUP_DIR}/same/f.py_dup1",
+        ]
+
+
+class TestRenamePlan:
+    def test_keep_renamed_to_best_member_name(self, spark):
+        # delete-member has the better (date-prefixed) name; keep gets it,
+        # but keeps its own extension (naming.py:173-174)
+        rows = [
+            (1, 1, "photos/885213.py", 100),
+            (2, 1, "photos/2021-05-01_trip.txt", 90),
+        ]
+        df = keep_selection(spark.createDataFrame(rows, MEMBER_SCHEMA))
+        plan = rename_plan(dup_groups_only(df)).collect()
+        assert len(plan) == 1
+        assert plan[0].action == "rename"
+        assert plan[0].src == "photos/885213.py"
+        assert plan[0].dst == "photos/2021-05-01_trip.py"  # ext preserved
+
+    def test_no_rename_when_keep_has_best_name(self, spark):
+        rows = [
+            (1, 1, "a/2020-01-02_event.py", 100),
+            (2, 1, "a/123.py", 90),
+        ]
+        df = keep_selection(spark.createDataFrame(rows, MEMBER_SCHEMA))
+        assert rename_plan(dup_groups_only(df)).count() == 0
+
+    def test_conflict_with_survivor_is_skipped(self, spark):
+        # keep of c1 wants a name already held by keep of c2 (a survivor
+        # not being renamed) → plan row action='skip' (cleaner.py:823-837)
+        rows = [
+            (1, 1, "d/999.py", 100),
+            (2, 1, "d/2020-01-02_x.txt", 90),
+            (3, 2, "d/2020-01-02_x.py", 100),  # survivor holding target
+            (4, 2, "d/888.py", 90),
+        ]
+        df = keep_selection(spark.createDataFrame(rows, MEMBER_SCHEMA))
+        plan = rename_plan(dup_groups_only(df))
+        skips = plan.where(F.col("action") == "skip").collect()
+        assert len(skips) == 1
+        assert skips[0].src == "d/999.py"
+        assert skips[0].dst == "d/2020-01-02_x.py"
+
+
+class TestUndo:
+    def test_inverse_plan_reverses_order_and_swaps(self, selected):
+        dups = dup_groups_only(selected)
+        plan = sequence_plan(move_plan(dups).unionByName(rename_plan(dups)))
+        inv = undo_plan(plan)
+        fwd = {r.seq: (r.src, r.dst) for r in plan.collect()}
+        rev = {r.seq: (r.src, r.dst) for r in inv.collect()}
+        n = len(fwd)
+        assert len(rev) == n
+        for seq, (src, dst) in fwd.items():
+            assert rev[n + 1 - seq] == (dst, src)
+
+
+class TestReportRoundtrip:
+    def test_write_validate_load(self, spark, selected, cfg, tmp_path):
+        dups = dup_groups_only(selected)
+        groups = build_report_groups(dups)
+        summary = summary_aggregates(selected, total_files=6)
+        out = str(tmp_path / "report")
+        doc = write_report(groups, summary, out, cfg, source="unit-test")
+        assert doc["summary"]["duplicate_groups"] == 2
+        assert doc["config_hash"] == cfg.config_hash()
+        loaded_doc, loaded_groups = load_report(spark, out)
+        assert loaded_doc["version"] == doc["version"]
+        assert loaded_groups.count() == 2
+        validate_report_paths(loaded_groups)  # no duplicates → ok
+
+    def test_duplicate_path_rejected(self, spark):
+        # same path as keep in one group and delete in another
+        # (cleaner.py:177-232 / test_core.py:386-416)
+        import pyspark.sql.types as T
+        from photo_dedup_spark.sources.report import GROUP_SCHEMA
+
+        data = [
+            (1, 2, {"path": "x.py", "size": 10}, [{"path": "y.py", "size": 5}]),
+            (2, 2, {"path": "z.py", "size": 10}, [{"path": "x.py", "size": 5}]),
+        ]
+        groups = spark.createDataFrame(data, GROUP_SCHEMA)
+        with pytest.raises(InvalidReportError):
+            validate_report_paths(groups)
+
+    def test_keep_equals_delete_rejected(self, spark):
+        from photo_dedup_spark.sources.report import GROUP_SCHEMA
+
+        data = [
+            (1, 2, {"path": "x.py", "size": 10}, [{"path": "x.py", "size": 10}]),
+        ]
+        groups = spark.createDataFrame(data, GROUP_SCHEMA)
+        with pytest.raises(InvalidReportError):
+            validate_report_paths(groups)
+
+    def test_missing_head_keys_rejected(self, spark, tmp_path):
+        import json, os
+
+        out = str(tmp_path / "bad")
+        os.makedirs(out)
+        with open(os.path.join(out, "duplicates_data.json"), "w") as f:
+            json.dump({"version": 2}, f)
+        with pytest.raises(InvalidReportError):
+            load_report(spark, out)
