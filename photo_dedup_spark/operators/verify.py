@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
-from photo_dedup_spark.functions.signatures import containment_py, jaccard_py
+from photo_dedup_spark.functions.signatures import shingle_hashes
 
 _VERDICT = StructType(
     [
@@ -49,6 +49,19 @@ def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG):
     """
 
     def _verify(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
+        # Candidate pairs share documents heavily (every doc sits in
+        # many pairs), so shingle sets are memoized per distinct text
+        # within the Arrow batch — the dominant cost drops from
+        # O(pairs × shingling) to O(docs × shingling) + set ops.
+        cache: dict[str, frozenset] = {}
+
+        def shingles_of(t: str) -> frozenset:
+            s = cache.get(t)
+            if s is None:
+                s = frozenset(shingle_hashes(t, cfg.shingle_k).tolist())
+                cache[t] = s
+            return s
+
         jac, con = [], []
         for a, b in zip(norm_a, norm_b):
             try:
@@ -56,15 +69,24 @@ def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG):
                     jac.append(0.0)
                     con.append(0.0)
                     continue
-                j = jaccard_py(a, b, cfg)
-                # substring fast-path: exact containment of the shorter
-                # text implies shingle containment 1.0 without set math
-                if len(a) <= len(b):
-                    c = 1.0 if a and a in b else containment_py(a, b, cfg)
+                sa, sb = shingles_of(a), shingles_of(b)
+                if not sa or not sb:
+                    jac.append(1.0 if a == b else 0.0)
+                    con.append(0.0)
+                    continue
+                inter = len(sa & sb)
+                jac.append(inter / (len(sa) + len(sb) - inter))
+                small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+                if inter == len(small):
+                    con.append(1.0)
                 else:
-                    c = 1.0 if b and b in a else containment_py(a, b, cfg)
-                jac.append(float(j))
-                con.append(float(c))
+                    # substring fast-path: literal containment implies
+                    # shingle containment 1.0 (suffix-array upgrade path)
+                    small_t, big_t = (a, b) if len(a) <= len(b) else (b, a)
+                    if small_t and small_t in big_t:
+                        con.append(1.0)
+                    else:
+                        con.append(len(small & big) / len(small))
             except Exception:
                 # safe default: never merge on verifier failure
                 # (mirrors hasher.py:283-293 returning inf)

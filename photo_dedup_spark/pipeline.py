@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
 from photo_dedup_spark.functions.keys import exact_key_col, norm_key_col
 from photo_dedup_spark.functions.normalize import normalize_col
-from photo_dedup_spark.functions.signatures import make_signature_udfs
+from photo_dedup_spark.functions.signatures import make_signature_struct_udf
 from photo_dedup_spark.operators import lsh
 from photo_dedup_spark.operators.components import connected_components, exact_star_edges
 from photo_dedup_spark.operators.groups import keep_selection
@@ -135,14 +135,20 @@ def run_pipeline(
             metrics["signature_reps"] = n_reps
             metrics["oversize_exact_only"] = n_reps - eligible.count()
 
-        minhash_udf, simhash_udf, bands_udf = make_signature_udfs(cfg)
+        sign_udf = make_signature_struct_udf(cfg)
         signed = (
             eligible.select(
                 "doc_id", normalize_col(F.col("content")).alias("norm_content")
             )
-            .withColumn("minhash", minhash_udf(F.col("norm_content")))
-            .withColumn("simhash", simhash_udf(F.col("norm_content")))
-            .withColumn("band_hashes", bands_udf(F.col("minhash")))
+            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+            .withColumn("sig", sign_udf(F.col("norm_content")))
+            .select(
+                "doc_id",
+                "norm_content",
+                F.col("sig.minhash").alias("minhash"),
+                F.col("sig.simhash").alias("simhash"),
+                F.col("sig.band_hashes").alias("band_hashes"),
+            )
         )
         signed = signed.localCheckpoint(eager=True)
 

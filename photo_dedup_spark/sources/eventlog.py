@@ -1,0 +1,137 @@
+"""Transaction event log: append-only JSONL sink + strictly-validated
+source (reference S7/S8, /root/reference/photo_dedup/cleaner.py:301-438).
+
+The reference appends move/rename/date_update events to
+``_cleanup_log.events.jsonl`` with fsync batching, keeps a meta JSON
+with a status state machine, and on undo re-reads the stream with
+per-line type validation, refusing "meta says counts>0 but events
+missing" (cleaner.py:358-369).
+
+Ours logs *plan execution* events.  Spark writes the event rows
+(partitioned JSONL); the meta doc is a driver-side JSON with the same
+state machine.  ``load_events`` validates with a strict schema +
+corrupt-record FAILFAST + per-type field checks, and enforces the
+meta/event consistency guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("cluster_id", T.LongType()),
+    ]
+)
+
+VALID_ACTIONS = ("move", "rename", "date_rename", "set_mtime", "skip")
+
+STATUS_FLOW = ("in_progress", "moves_complete", "complete", "undone")
+
+
+class EventLogError(ValueError):
+    """Invalid/incomplete event log (cleaner.py guards)."""
+
+
+def write_events(plan: DataFrame, log_dir: str, status: str = "in_progress") -> dict:
+    """Write plan rows as the event stream + meta doc."""
+    if status not in STATUS_FLOW:
+        raise EventLogError(f"invalid status {status!r}")
+    os.makedirs(log_dir, exist_ok=True)
+    events_dir = os.path.join(log_dir, "events")
+    plan.select("seq", "action", "src", "dst", "cluster_id").write.mode(
+        "overwrite"
+    ).json(events_dir)
+    counts = {
+        r["action"]: r["n"]
+        for r in plan.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    meta = {"status": status, "counts": counts, "events_dir": events_dir}
+    tmp = os.path.join(log_dir, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(log_dir, "_meta.json"))
+    return meta
+
+
+def set_status(log_dir: str, status: str) -> None:
+    """Advance the state machine (cleaner.py:313,794,1102,1254); only
+    forward transitions (or → undone) are legal."""
+    meta = _read_meta(log_dir)
+    cur, new = STATUS_FLOW.index(meta["status"]), STATUS_FLOW.index(status)
+    if new < cur:
+        raise EventLogError(f"illegal transition {meta['status']} → {status}")
+    meta["status"] = status
+    tmp = os.path.join(log_dir, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(log_dir, "_meta.json"))
+
+
+def _read_meta(log_dir: str) -> dict:
+    try:
+        with open(os.path.join(log_dir, "_meta.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        raise EventLogError(f"unreadable meta: {e}") from e
+
+
+def guard_not_in_progress(log_dir: str) -> None:
+    """C5: refuse to operate over an incomplete log (cleaner.py:694-705)."""
+    if not os.path.exists(os.path.join(log_dir, "_meta.json")):
+        return
+    meta = _read_meta(log_dir)
+    if meta["status"] == "in_progress":
+        raise EventLogError(
+            "previous run left an in_progress event log; undo or remove it first"
+        )
+
+
+def load_events(spark: SparkSession, log_dir: str) -> tuple[dict, DataFrame]:
+    """S8: strict reload for undo.
+
+    Validates: meta readable; status; schema FAILFAST; action whitelist;
+    non-null seq/src/dst; per-action counts match meta (the
+    'counts>0 but events missing' refusal, cleaner.py:358-369)."""
+    meta = _read_meta(log_dir)
+    if meta.get("status") not in STATUS_FLOW:
+        raise EventLogError(f"invalid status in meta: {meta.get('status')!r}")
+    events_dir = meta["events_dir"]
+    expected = {k: v for k, v in meta.get("counts", {}).items()}
+    if sum(expected.values()) > 0 and not os.path.isdir(events_dir):
+        raise EventLogError("meta counts > 0 but event stream is missing")
+    ev = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(events_dir)
+    )
+    bad = ev.where(
+        ~F.col("action").isin(*VALID_ACTIONS)
+        | F.col("seq").isNull()
+        | F.col("src").isNull()
+        | F.col("dst").isNull()
+    )
+    bad_rows = bad.limit(1).collect()
+    if bad_rows:
+        raise EventLogError(f"malformed event row: {bad_rows[0].asDict()}")
+    got = {
+        r["action"]: r["n"]
+        for r in ev.groupBy("action").agg(F.count("*").alias("n")).collect()
+    }
+    if got != expected:
+        raise EventLogError(f"event counts {got} != meta counts {expected}")
+    return meta, ev
+
+
+def replay_order_for_undo(events: DataFrame) -> DataFrame:
+    """C4: reverse sequence order (cleaner.py:1196-1248)."""
+    return events.where(F.col("action") != "skip").orderBy(F.desc("seq"))

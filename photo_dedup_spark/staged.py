@@ -1,0 +1,116 @@
+"""Staged pipeline: run_pipeline semantics with parquet checkpoints,
+per-stage metrics, and longest-valid-prefix resume (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Stage layout under ``work_dir`` (one dir per stage, each with
+``data/`` parquet + ``_metrics.json``):
+
+  s0_ingest → s1_keys → s2_signatures → s3_candidates → s4_edges
+  → s5_labels → s6_assignments
+
+The reference analog is the transaction-log state machine + the
+incomplete-log guard (/root/reference/photo_dedup/cleaner.py:313,
+694-705): a rerun never silently overwrites a half-written stage and
+never reuses a checkpoint written under a different config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+from photo_dedup_spark.functions.keys import exact_key_col, norm_key_col
+from photo_dedup_spark.functions.normalize import normalize_col
+from photo_dedup_spark.functions.signatures import make_signature_struct_udf
+from photo_dedup_spark.operators import lsh
+from photo_dedup_spark.operators.components import connected_components, exact_star_edges
+from photo_dedup_spark.operators.groups import keep_selection
+from photo_dedup_spark.operators.verify import verify_pairs
+from photo_dedup_spark.pipeline import ingest
+from photo_dedup_spark.plans.checkpoint import StageRunner
+
+
+def run_staged_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    work_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+) -> tuple[DataFrame, StageRunner]:
+    """Returns (assignments, runner); runner.summary() has per-stage
+    rows/wall/reused telemetry."""
+    runner = StageRunner(spark, work_dir, cfg.config_hash(), resume=resume)
+
+    docs_df = runner.run("s0_ingest", lambda: ingest(files, cfg, False)[0])
+
+    keyed = runner.run(
+        "s1_keys",
+        lambda: docs_df.select(
+            "doc_id",
+            "repo",
+            "path",
+            "lang",
+            "n_chars",
+            "content",
+            exact_key_col(F.col("content")).alias("exact_key"),
+            norm_key_col(F.col("content")).alias("norm_key"),
+        ),
+    )
+
+    def _signatures() -> DataFrame:
+        reps = (
+            keyed.withColumn(
+                "rep_rn",
+                F.row_number().over(Window.partitionBy("norm_key").orderBy("doc_id")),
+            )
+            .where(F.col("rep_rn") == 1)
+            .where(F.col("n_chars") <= cfg.content_cap_chars)
+        )
+        sign_udf = make_signature_struct_udf(cfg)
+        return (
+            reps.select("doc_id", normalize_col(F.col("content")).alias("norm_content"))
+            .withColumn("sig", sign_udf(F.col("norm_content")))
+            .select(
+                "doc_id",
+                "norm_content",
+                F.col("sig.minhash").alias("minhash"),
+                F.col("sig.simhash").alias("simhash"),
+                F.col("sig.band_hashes").alias("band_hashes"),
+            )
+        )
+
+    signed = runner.run("s2_signatures", _signatures)
+
+    def _candidates() -> DataFrame:
+        banded = lsh.explode_bands(signed, cfg).unionByName(
+            lsh.explode_simhash_chunks(signed, cfg)
+        )
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pairs, _ = lsh.candidate_pairs(banded, cfg, num_partitions=shuffle_n)
+        return pairs
+
+    pairs = runner.run("s3_candidates", _candidates)
+
+    def _edges() -> DataFrame:
+        verified = verify_pairs(pairs, signed, cfg)
+        near = verified.where(F.col("is_edge")).select("src", "dst")
+        return exact_star_edges(keyed, "norm_key").unionByName(near)
+
+    edges = runner.run("s4_edges", _edges)
+
+    def _labels() -> DataFrame:
+        labels, _ = connected_components(keyed.select("doc_id"), edges, cfg)
+        return labels
+
+    labels = runner.run("s5_labels", _labels)
+
+    assignments = runner.run(
+        "s6_assignments",
+        lambda: keep_selection(
+            keyed.select("doc_id", "repo", "path", "lang", "n_chars").join(
+                labels, "doc_id"
+            )
+        ),
+    )
+    return assignments, runner

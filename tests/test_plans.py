@@ -1,0 +1,44 @@
+"""Physical-plan shape assertions: column pruning, filter pushdown,
+broadcast joins — the scan-level properties that matter at 100 TB
+(SURVEY.md §4.2: never read `content` in stages that don't need it)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShape:
+    def test_exact_dup_groups_prunes_and_pushes(self, spark):
+        plan = _plan(spark, "exact_dup_groups")
+        scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+        # null filter pushed to the scan; unused columns not read
+        assert "isnotnull(text" in scan
+        assert "lang" not in scan and "source" not in scan
+
+    def test_size_blocking_broadcasts_hot_keys(self, spark):
+        plan = _plan(spark, "size_blocking")
+        assert "BroadcastHashJoin" in plan
+        assert "LeftSemi" in plan
+
+    def test_top_customers_broadcast_join(self, spark):
+        plan = _plan(spark, "top_customers")
+        assert "BroadcastHashJoin" in plan
+
+    def test_keep_selection_reads_no_unused_columns(self, spark):
+        plan = _plan(spark, "keep_selection")
+        scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+        assert "source" not in scan and "lang" not in scan
+
+    def test_token_stats_whole_stage_codegen(self, spark):
+        plan = _plan(spark, "token_stats")
+        # '*(n)' prefixes mark whole-stage-codegen'd operators; no
+        # Python evaluator (BatchEvalPython/ArrowEvalPython) may appear
+        assert "*(1)" in plan
+        assert "EvalPython" not in plan

@@ -1,0 +1,295 @@
+"""StageRunner resume, event log guards, hygiene filters, multimodal
+plumbing, blocking, similarity-search recall."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from photo_dedup_spark.plans.checkpoint import StageRunner
+
+
+class TestStageRunner:
+    def test_resume_skips_completed_prefix(self, spark, tmp_path):
+        calls = []
+
+        def mk(name, n):
+            def build():
+                calls.append(name)
+                return spark.range(n)
+
+            return build
+
+        r1 = StageRunner(spark, str(tmp_path), "cfgA")
+        r1.run("s0", mk("s0", 5))
+        r1.run("s1", mk("s1", 7))
+        assert calls == ["s0", "s1"]
+
+        # rerun: both stages valid → zero rebuilds
+        r2 = StageRunner(spark, str(tmp_path), "cfgA")
+        df0 = r2.run("s0", mk("s0", 5))
+        df1 = r2.run("s1", mk("s1", 7))
+        assert calls == ["s0", "s1"]
+        assert df0.count() == 5 and df1.count() == 7
+        assert all(res.reused for res in r2.results)
+
+    def test_config_change_invalidates(self, spark, tmp_path):
+        calls = []
+        r1 = StageRunner(spark, str(tmp_path), "cfgA")
+        r1.run("s0", lambda: (calls.append("s0"), spark.range(3))[1])
+        r2 = StageRunner(spark, str(tmp_path), "cfgB")
+        r2.run("s0", lambda: (calls.append("s0b"), spark.range(3))[1])
+        assert calls == ["s0", "s0b"]
+
+    def test_broken_prefix_invalidates_suffix(self, spark, tmp_path):
+        """Longest-valid-prefix: if s0 is invalid, a still-valid-looking
+        s1 checkpoint must NOT be reused (stale suffix)."""
+        r1 = StageRunner(spark, str(tmp_path), "cfgA")
+        r1.run("s0", lambda: spark.range(3))
+        r1.run("s1", lambda: spark.range(4))
+        # corrupt s0's metrics → invalid
+        os.remove(os.path.join(str(tmp_path), "s0", "_metrics.json"))
+        calls = []
+        r2 = StageRunner(spark, str(tmp_path), "cfgA")
+        r2.run("s0", lambda: (calls.append("s0"), spark.range(3))[1])
+        r2.run("s1", lambda: (calls.append("s1"), spark.range(4))[1])
+        assert calls == ["s0", "s1"]
+
+    def test_half_written_checkpoint_not_reused(self, spark, tmp_path):
+        """Incomplete-log-guard analog (cleaner.py:694-705): data without
+        finalized metrics is recomputed, never trusted."""
+        d = tmp_path / "s0" / "data"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()  # parquet marker but no metrics file
+        calls = []
+        r = StageRunner(spark, str(tmp_path), "cfgA")
+        r.run("s0", lambda: (calls.append("s0"), spark.range(3))[1])
+        assert calls == ["s0"]
+
+
+class TestStagedPipeline:
+    def test_staged_matches_inmemory_and_resumes(self, spark, files_df, cfg, tmp_path):
+        from photo_dedup_spark.pipeline import run_pipeline
+        from photo_dedup_spark.staged import run_staged_pipeline
+
+        mem = run_pipeline(spark, files_df, cfg, mode="hybrid", collect_metrics=False)
+        expected = {
+            (r.repo, r.path): (r.cluster_id, r.is_keep)
+            for r in mem.assignments.select("repo", "path", "cluster_id", "is_keep").collect()
+        }
+        got_df, runner = run_staged_pipeline(spark, files_df, str(tmp_path / "wd"), cfg)
+        got = {
+            (r.repo, r.path): (r.cluster_id, r.is_keep)
+            for r in got_df.select("repo", "path", "cluster_id", "is_keep").collect()
+        }
+        assert got == expected
+        assert not any(r.reused for r in runner.results)
+
+        # resume: all stages reused, identical output (SURVEY §5.2.5)
+        got2_df, runner2 = run_staged_pipeline(spark, files_df, str(tmp_path / "wd"), cfg)
+        got2 = {
+            (r.repo, r.path): (r.cluster_id, r.is_keep)
+            for r in got2_df.select("repo", "path", "cluster_id", "is_keep").collect()
+        }
+        assert got2 == expected
+        assert all(r.reused for r in runner2.results)
+
+
+class TestEventLog:
+    def _plan(self, spark):
+        rows = [
+            (1, "move", "a.py", "_duplicates_backup/a.py", 10),
+            (2, "rename", "b.py", "c.py", 10),
+            (3, "skip", "d.py", "e.py", 11),
+        ]
+        return spark.createDataFrame(
+            rows, "seq long, action string, src string, dst string, cluster_id long"
+        )
+
+    def test_roundtrip_and_undo_order(self, spark, tmp_path):
+        from photo_dedup_spark.sources.eventlog import (
+            load_events,
+            replay_order_for_undo,
+            set_status,
+            write_events,
+        )
+
+        d = str(tmp_path / "log")
+        write_events(self._plan(spark), d)
+        set_status(d, "complete")
+        meta, ev = load_events(spark, d)
+        assert meta["status"] == "complete"
+        undo = [r.seq for r in replay_order_for_undo(ev).collect()]
+        assert undo == [2, 1]  # reversed, skip dropped
+
+    def test_in_progress_guard(self, spark, tmp_path):
+        from photo_dedup_spark.sources.eventlog import (
+            EventLogError,
+            guard_not_in_progress,
+            write_events,
+        )
+
+        d = str(tmp_path / "log")
+        write_events(self._plan(spark), d, status="in_progress")
+        with pytest.raises(EventLogError):
+            guard_not_in_progress(d)
+
+    def test_backward_transition_rejected(self, spark, tmp_path):
+        from photo_dedup_spark.sources.eventlog import (
+            EventLogError,
+            set_status,
+            write_events,
+        )
+
+        d = str(tmp_path / "log")
+        write_events(self._plan(spark), d, status="in_progress")
+        set_status(d, "complete")
+        with pytest.raises(EventLogError):
+            set_status(d, "in_progress")
+
+    def test_counts_mismatch_rejected(self, spark, tmp_path):
+        from photo_dedup_spark.sources.eventlog import (
+            EventLogError,
+            load_events,
+            write_events,
+        )
+
+        d = str(tmp_path / "log")
+        write_events(self._plan(spark), d)
+        meta_path = os.path.join(d, "_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["counts"]["move"] = 99  # meta says more moves than logged
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(EventLogError):
+            load_events(spark, d)
+
+    def test_type_injection_rejected(self, spark, tmp_path):
+        # malformed action value (test_core.py JSONL type-injection analog)
+        from photo_dedup_spark.sources.eventlog import (
+            EventLogError,
+            load_events,
+            write_events,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, "rm -rf", "a", "b", 1)],
+            "seq long, action string, src string, dst string, cluster_id long",
+        )
+        d = str(tmp_path / "log")
+        write_events(bad, d)
+        with pytest.raises(EventLogError):
+            load_events(spark, d)
+
+
+class TestHygieneFilter:
+    def test_skip_dirs_and_dotfiles(self, spark):
+        from photo_dedup_spark.sources.io import hygiene_filter
+
+        rows = [
+            ("r", "src/main.py", "c", "py", "x"),
+            ("r", ".hidden", "c", "py", "x"),
+            ("r", "a/.git/config", "c", "py", "x"),
+            ("r", "__pycache__/m.pyc", "c", "py", "x"),
+            ("r", "a/_duplicates_backup/old.py", "c", "py", "x"),
+            ("r", "a/.venv/lib.py", "c", "py", "x"),
+            ("r", "gitty/file.py", "c", "py", "x"),  # not .git — kept
+        ]
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        kept = {r.path for r in hygiene_filter(df).collect()}
+        assert kept == {"src/main.py", "gitty/file.py"}
+
+    def test_non_recursive_depth(self, spark):
+        from photo_dedup_spark.sources.io import hygiene_filter
+
+        rows = [("r", "top.py", "c", "py", "x"), ("r", "a/deep.py", "c", "py", "x")]
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        assert {r.path for r in hygiene_filter(df, recursive=False).collect()} == {
+            "top.py"
+        }
+
+
+class TestMultimodal:
+    def test_fake_decode_schema_and_determinism(self, spark):
+        from photo_dedup_spark.functions.multimodal import (
+            FEATURE_DIM,
+            decode_image_features,
+        )
+
+        rows = [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two")), (3, None)]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out1 = decode_image_features(media, fake=True).orderBy("media_id").collect()
+        out2 = decode_image_features(media, fake=True).orderBy("media_id").collect()
+        assert [r.features for r in out1] == [r.features for r in out2]
+        assert len(out1[0].features) == FEATURE_DIM
+        assert out1[0].width >= 64 and out1[0].channels == 3
+        assert out1[2].features is None
+        assert "null payload" in out1[2].decode_error
+
+    def test_real_codec_stubbed(self, spark):
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+
+        media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+        rows = decode_image_features(media, fake=False).collect()
+        assert rows[0].features is None
+        assert "codecs unavailable" in rows[0].decode_error
+
+    def test_frame_sample_schedule(self, spark):
+        from photo_dedup_spark.functions.multimodal import frame_sample
+
+        media = spark.createDataFrame(
+            [(1, 3500), (2, 0)], "media_id long, duration_ms long"
+        )
+        rows = frame_sample(media, every_ms=1000).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+        assert sorted(by_id[1]) == [0, 1000, 2000, 3000]
+        assert 2 not in by_id
+
+
+class TestBlocking:
+    def test_size_block(self, spark):
+        from photo_dedup_spark.operators.blocking import size_block
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 20), (4, 30), (5, 30), (6, 30)],
+            "doc_id long, n_chars long",
+        )
+        kept = {r.doc_id for r in size_block(df).collect()}
+        assert kept == {1, 2, 4, 5, 6}
+
+    def test_strict_resplit(self, spark):
+        from photo_dedup_spark.operators.blocking import strict_resplit
+
+        df = spark.createDataFrame(
+            [(1, 100, "sha_a"), (2, 100, "sha_a"), (3, 100, "sha_b")],
+            "doc_id long, cluster_id long, exact_key string",
+        )
+        out = strict_resplit(df)
+        splits = {r.doc_id: r.strict_cluster_id for r in out.collect()}
+        assert splits[1] == splits[2] != splits[3]
+
+
+class TestSimilaritySearch:
+    def test_srp_recall_vs_bruteforce(self, spark):
+        from photo_dedup_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_srp,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 30), k=1)
+        truth = {(r.query_id, r.match_id) for r in exact.collect()}
+        # near-uniform random embeddings are the adversarial case for
+        # SRP (all cosines ≈ 0); 4 bits × 12 tables measured 0.93 here
+        ann = cosine_topk_srp(emb, k=5, n_bits=4, n_tables=12)
+        got = {(r.query_id, r.match_id) for r in ann.where(F.col("query_id") < 30).collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.8, f"SRP top-1@5 recall {recall}"
