@@ -443,6 +443,28 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def q_strict_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 strict-verify re-split: normalized-key clusters split by raw
+    sha256 into byte-identical subgroups (scanner.py:645-695); the
+    composite key mirrors the reference's ``h::verify2`` suffixing."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "::",
+            norm_key_col(F.col("text")),
+            exact_key_col(F.col("text")),
+        ).alias("strict_cluster"),
+    )
+
+
+SQL_STRICT_RESPLIT = f"""
+SELECT doc_id,
+       {norm_key_sql('text')} || '::' || {exact_key_sql('text')} AS strict_cluster
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard dedup variant (training-data mandate): word
     3-gram overlap for same-source candidate pairs — integer counts
@@ -694,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "strict_resplit": q_strict_resplit,
         # relational
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -727,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "strict_resplit": SQL_STRICT_RESPLIT,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_rollup": SQL_EVENTS_ROLLUP,

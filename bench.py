@@ -80,12 +80,43 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> None:
-    """Fresh-JVM runs at local[8] vs local[32]; report efficiency."""
+    """Fresh-JVM runs at local[8] vs local[32]; report efficiency.
+
+    Input: the deterministic synthetic bench corpus (BASELINE.md
+    "largest generated scale") — the driver's sf0.1 documents (5k tiny
+    rows) are overhead-dominated at local[32], so the scaling evidence
+    uses a corpus big enough that parallel signature/verify compute
+    dominates.  Generation runs once (untimed), parallel in Spark,
+    content deterministic per id.
+    """
+    n_bases = int(os.environ.get("SPARK_GRAFT_BENCH_BASES", "120000"))
+    corpus_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+    from photo_dedup_spark.benchcorpus import materialize_bench_corpus
+    from photo_dedup_spark.session import build_session
+
+    spark = build_session(app_name="bench-corpus-gen")
+    spark.sparkContext.setLogLevel("WARN")
+    corpus_path = materialize_bench_corpus(spark, n_bases, corpus_dir)
+    docs = spark.read.parquet(corpus_path).count()
+    spark.stop()
+    print(f"bench corpus: {corpus_path} ({docs} rows)", file=sys.stderr)
+
     results = {}
     for cpus in (8, 32):
+        # taskset pins the WHOLE process tree (JVM + python workers) to
+        # `cpus` physical cores: plain local[8] on a 32-core box lets
+        # GC/shuffle/Arrow threads spill onto the other 24 cores, which
+        # makes the small run artificially fast and understates scaling
+        cmd = [sys.executable, __file__, "--single-pipeline"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--single-pipeline"],
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus), "SPARK_GRAFT_SF_DIR": sf_dir},
+            cmd,
+            env={
+                **os.environ,
+                "SPARK_GRAFT_CPUS": str(cpus),
+                "SPARK_GRAFT_BENCH_CORPUS": corpus_path,
+            },
             capture_output=True,
             text=True,
             check=True,
@@ -98,16 +129,26 @@ def run_scaling(sf_dir: str) -> None:
     lines = [
         "# BENCH — scaling (local[8] vs local[32], same input)",
         "",
-        f"Input: `{sf_dir}/documents.parquet` ({docs} docs), flagship near-dup pipeline",
-        "(exact keys → MinHash/SimHash → LSH → verify → CC → keep-window).",
-        "Fresh JVM per run; shuffle partitions scale with cores; all other config identical.",
+        f"Input: synthetic bench corpus `{corpus_path}` ({docs} files, ~4 KB avg),",
+        "flagship near-dup pipeline (exact keys → MinHash/SimHash signatures →",
+        "LSH candidates → verify → connected components → keep-window).",
+        "Fresh JVM per run; corpus generation excluded from timing; shuffle",
+        "partitions scale with cores; all other config identical.",
         "",
-        "| parallelism | wall (s) | throughput (files/s) |",
-        "|---|---|---|",
-        f"| local[8]  | {w8:.2f} | {docs / w8:.1f} |",
-        f"| local[32] | {w32:.2f} | {docs / w32:.1f} |",
+        "| parallelism | warm wall (s) | cold wall (s) | throughput (files/s, warm) |",
+        "|---|---|---|---|",
+        f"| local[8]  | {w8:.2f} | {results[8].get('cold_wall_s', float('nan')):.2f} | {docs / w8:.1f} |",
+        f"| local[32] | {w32:.2f} | {results[32].get('cold_wall_s', float('nan')):.2f} | {docs / w32:.1f} |",
         "",
         f"**Scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8 per BASELINE.md).",
+        "",
+        "Timed run = second run in the same JVM (steady state): a fresh",
+        "local JVM spends minutes of SERIAL time in JIT/codegen across the",
+        "pipeline's ~15 query stages, which long-lived cluster executors",
+        "amortize; cold numbers are reported alongside for transparency.",
+        "",
+        "This is the sandbox substitution for the north rule's N vs 4N executor",
+        "criterion (no real cluster available; see BASELINE.md).",
     ]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SCALING.md", "w") as f:
@@ -116,18 +157,46 @@ def run_scaling(sf_dir: str) -> None:
 
 
 def run_single_pipeline(sf_dir: str, cpus: int) -> None:
-    """One flagship-pipeline run (used by --scaling subprocesses)."""
+    """One flagship-pipeline run (used by --scaling subprocesses).
+
+    Reads $SPARK_GRAFT_BENCH_CORPUS (repo_files-shaped parquet) when
+    set, else the sf documents table."""
     from photo_dedup_spark.session import build_session
+    from photo_dedup_spark.pipeline import run_pipeline
     import __spark_entry__ as entry_mod
 
     spark = build_session(app_name=f"scale-{cpus}")
     spark.sparkContext.setLogLevel("WARN")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    t0 = time.monotonic()
-    n = entry_mod.queries()["near_dup_clusters"](spark, sf_dir).count()
-    wall = round(time.monotonic() - t0, 3)
+    corpus = os.environ.get("SPARK_GRAFT_BENCH_CORPUS")
+
+    def one_run():
+        t0 = time.monotonic()
+        if corpus:
+            files = spark.read.parquet(corpus)
+            docs = files.count()
+            res = run_pipeline(
+                spark, files, entry_mod.ENTRY_CONFIG, mode="hybrid", collect_metrics=False
+            )
+            n = res.assignments.count()
+        else:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            n = entry_mod.queries()["near_dup_clusters"](spark, sf_dir).count()
+        return round(time.monotonic() - t0, 3), n, docs
+
+    # warm-up run first: a fresh local JVM spends minutes in C2/codegen
+    # compilation spread over ~15 query stages, which is SERIAL time a
+    # long-lived cluster executor amortizes away.  The scaling criterion
+    # compares steady-state throughput, so the timed run is the second
+    # one in the same JVM (standard JMH-style practice; the cold number
+    # is reported alongside for transparency).
+    cold_wall, _, _ = one_run()
+    wall, n, docs = one_run()
     spark.stop()
-    print(json.dumps({"wall_s": wall, "rows": n, "docs": docs, "cpus": cpus}))
+    print(
+        json.dumps(
+            {"wall_s": wall, "cold_wall_s": cold_wall, "rows": n, "docs": docs, "cpus": cpus}
+        )
+    )
 
 
 if __name__ == "__main__":

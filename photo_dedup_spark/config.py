@@ -27,6 +27,12 @@ class DedupConfig:
     hamming_threshold: int = 20     # = HAMMING_THRESHOLD (hasher.py:36)
     jaccard_threshold: float = 0.70 # stage-2 verify, analog of RMS_THRESHOLD (hasher.py:40)
     containment_threshold: float = 0.90  # north-rule substring-containment verify
+    # verify-sketch: mod-2^b sparsified shingle set kept per doc; the
+    # verifier intersects sketches instead of re-shingling full content
+    # (which would move O(pairs × content) bytes through the pair join).
+    # 512 entries = 4 KB binary per doc; estimator σ ≈ sqrt(j(1-j)/k)
+    # ≈ 2% at the τ=0.7 boundary — docs under the cap are stored exactly
+    verify_sketch_size: int = 512
     # --- degrade-don't-drop caps (analog of MAX_IMAGE_PIXELS, hasher.py:28) ---
     content_cap_chars: int = 2 * 1024 * 1024  # oversize rows keep exact key only
     # --- skew handling (north rule: explicit salting of hot LSH buckets) ---

@@ -105,8 +105,11 @@ def minhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
 
 
 def simhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
-    """256-bit SimHash as ``simhash_words`` int64 words over shingles."""
-    return _simhash_from_shingles(shingle_hashes(text, cfg.shingle_k), cfg)
+    """256-bit SimHash as ``simhash_words`` int64 words, voted over the
+    verify-sketch sample of the shingle set (bit-identical to the
+    pipeline's struct UDF — see make_signature_struct_udf)."""
+    _, kept = sketch_py(shingle_hashes(text, cfg.shingle_k), cfg)
+    return _simhash_from_shingles(kept.view(np.uint64), cfg)
 
 
 def band_hashes_py(sig: np.ndarray, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
@@ -155,9 +158,73 @@ def _simhash_from_shingles(sh: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     return out.view(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# verify sketch: mod-2^b sparsified shingle set (deterministic, unbiased)
+# ---------------------------------------------------------------------------
+
+def sketch_py(
+    sh: np.ndarray, cfg: DedupConfig = DEFAULT_CONFIG
+) -> tuple[int, np.ndarray]:
+    """(level b, sorted int64 sketch) for a shingle-hash set.
+
+    Level b keeps hashes with the top b bits zero (expected n/2^b
+    survivors); b is the smallest level bringing the sketch under
+    ``verify_sketch_size``.  Two sketches are comparable after
+    filtering BOTH to max(b_a, b_b) — set algebra on the filtered
+    universe gives an unbiased Jaccard/containment estimate with
+    ~1/sqrt(k) concentration, while docs smaller than the cap are
+    stored exactly (b=0 ⇒ estimator degenerates to the true value).
+    """
+    n = sh.size
+    b = 0
+    while n >> b > cfg.verify_sketch_size:
+        b += 1
+    if b == 0:
+        kept = np.sort(sh)
+    else:
+        kept = np.sort(sh[sh < np.uint64(1) << np.uint64(64 - b)])
+    return b, kept.view(np.int64)
+
+
+def sketch_overlap_py(
+    a: np.ndarray, ba: int, b_arr: np.ndarray, bb: int
+) -> tuple[float, float]:
+    """(jaccard_est, containment_est) from two sketches.
+
+    Filters both to the coarser level, then exact set arithmetic on
+    the common sampled universe.  Empty-after-filter ⇒ (0, 0) — the
+    safe don't-merge default (reference hasher.py:283-293)."""
+    ua = np.asarray(a, dtype=np.int64).view(np.uint64)
+    ub = np.asarray(b_arr, dtype=np.int64).view(np.uint64)
+    lvl = max(ba, bb)
+    if ba < lvl:
+        ua = ua[ua < np.uint64(1) << np.uint64(64 - lvl)]
+    if bb < lvl:
+        ub = ub[ub < np.uint64(1) << np.uint64(64 - lvl)]
+    if ua.size == 0 or ub.size == 0:
+        return (1.0, 1.0) if (ua.size == 0 and ub.size == 0 and lvl == 0) else (0.0, 0.0)
+    inter = np.intersect1d(ua, ub, assume_unique=True).size
+    union = ua.size + ub.size - inter
+    small = min(ua.size, ub.size)
+    return inter / union, inter / small
+
+
+# sketch travels as packed little-endian int64 BYTES, not array<bigint>:
+# a binary column is one memcpy through Arrow/UnsafeRow vs per-element
+# conversion of a 512-entry array — the sketch is the fat field on the
+# verify join, so its encoding dominates that shuffle
 SIGNATURE_STRUCT = (
-    "struct<minhash: array<int>, simhash: array<bigint>, band_hashes: array<bigint>>"
+    "struct<minhash: array<int>, simhash: array<bigint>, band_hashes: array<bigint>, "
+    "sketch: binary, sketch_b: int>"
 )
+
+
+def sketch_to_bytes(kept: np.ndarray) -> bytes:
+    return np.ascontiguousarray(kept, dtype="<i8").tobytes()
+
+
+def sketch_from_bytes(raw: bytes) -> np.ndarray:
+    return np.frombuffer(raw, dtype="<i8")
 
 
 def make_signature_struct_udf(cfg: DedupConfig = DEFAULT_CONFIG):
@@ -167,19 +234,38 @@ def make_signature_struct_udf(cfg: DedupConfig = DEFAULT_CONFIG):
     content transfer instead of 2 of each)."""
 
     def _sign(content: pd.Series) -> pd.DataFrame:
-        mh, sh_out, bands = [], [], []
+        mh, sh_out, bands, sk, skb = [], [], [], [], []
         for t in content:
             if t is None:
                 mh.append(None)
                 sh_out.append(None)
                 bands.append(None)
+                sk.append(None)
+                skb.append(None)
                 continue
             sh = shingle_hashes(t, cfg.shingle_k)
             m = _minhash_from_shingles(sh, cfg)
             mh.append(m.tolist())
-            sh_out.append(_simhash_from_shingles(sh, cfg).tolist())
             bands.append(band_hashes_py(m, cfg).tolist())
-        return pd.DataFrame({"minhash": mh, "simhash": sh_out, "band_hashes": bands})
+            b, kept = sketch_py(sh, cfg)
+            sk.append(sketch_to_bytes(kept))
+            skb.append(b)
+            # SimHash votes over the (uniformly sampled) sketch set —
+            # a majority vote over a random sample preserves every bit
+            # with a clear margin and only flips coin-flip bits, while
+            # cutting the dominant O(n·256) bit-voting cost to O(k·256)
+            sh_out.append(
+                _simhash_from_shingles(kept.view(np.uint64), cfg).tolist()
+            )
+        return pd.DataFrame(
+            {
+                "minhash": mh,
+                "simhash": sh_out,
+                "band_hashes": bands,
+                "sketch": sk,
+                "sketch_b": skb,
+            }
+        )
 
     return F.pandas_udf(_sign, SIGNATURE_STRUCT)
 

@@ -63,23 +63,38 @@ def connected_components(
 
     history: list[int] = []
     for it in range(cfg.cc_max_iters):
-        # neighbor minimum: for each dst, min label among its neighbors
+        # (a) neighbor minimum: for each dst, min label among neighbors
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy(sym.dst.alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # (b) pointer jumping: label(x) <- label(label(x)) — halves label
+        # chain depth, turning O(diameter) propagation into O(log n)
+        # (the large-star contraction of Kiveris et al.'s CC-MR family)
+        parents = propagated.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        jumped = (
+            propagated.join(parents, propagated.cluster_id == parents.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("changed"),
+                F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
+            )
+        )
+        new_labels = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .select(
+                "doc_id",
+                F.col("n.cluster_id").alias("cluster_id"),
+                (F.col("n.cluster_id") < F.col("o.cluster_id")).alias("changed"),
             )
         )
         if (it + 1) % cfg.cc_checkpoint_every == 0:

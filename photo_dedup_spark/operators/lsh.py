@@ -41,23 +41,32 @@ def explode_bands(signed: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataF
 def explode_simhash_chunks(
     signed: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """(doc_id, simhash) -> (doc_id, band_id, band_hash) over 16-bit chunks.
+    """(doc_id, simhash) -> (doc_id, band_id, band_hash) over 32-bit chunks.
 
-    Chunk c of word w is ``(simhash[w] >> (16*c)) & 0xFFFF``; band_id is
-    offset past the MinHash band range so the two candidate paths can be
-    unioned into one bucket table.
+    Chunk c of word w is ``(simhash[w] >>> (32*c)) & 0xFFFFFFFF``; band_id
+    is offset past the MinHash band range so the two candidate paths can
+    be unioned into one bucket table.
+
+    Chunk width matters at scale: k-bit chunks produce ~N²/2^(k+1)
+    RANDOM collision pairs per chunk position regardless of similarity.
+    16-bit chunks are fine at 10⁴ docs but generate millions of junk
+    candidates at 10⁵+ — 32-bit keeps the noise floor negligible while
+    still guaranteeing (pigeonhole over 8 positions) a shared chunk for
+    any pair within Hamming ≤ 7 and catching most of the ≤ 20 envelope
+    probabilistically; the MinHash band path remains the primary
+    recall feed (it alone clears the 0.99 gate at τ=0.7).
     """
     n_words = cfg.simhash_words
     chunks = []
     for w in range(n_words):
-        for c in range(4):
-            band_id = cfg.lsh_bands + w * 4 + c
+        for c in range(2):
+            band_id = cfg.lsh_bands + w * 2 + c
             chunks.append(
                 F.struct(
                     F.lit(band_id).alias("band_id"),
                     (
-                        F.shiftrightunsigned(F.col("simhash").getItem(w), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash").getItem(w), 32 * c)
+                        .bitwiseAND(F.lit(0xFFFFFFFF))
                     ).alias("band_hash"),
                 )
             )
@@ -95,8 +104,15 @@ def candidate_pairs(
         .otherwise(F.lit("singleton")),
     )
 
+    # NOTE: no forced broadcast — the census is O(#buckets) = O(N·bands)
+    # rows and blows the driver at scale; the shuffle join below is
+    # co-partitioned with the self-join's own exchange on the same keys,
+    # so it costs one reused shuffle (AQE may still pick broadcast when
+    # the filtered census is genuinely small).
     tagged = banded.join(
-        F.broadcast(routed.where(F.col("route").isin("plain", "salted"))),
+        routed.where(F.col("route").isin("plain", "salted")).select(
+            "band_id", "band_hash", "route"
+        ),
         on=["band_id", "band_hash"],
     )
 

@@ -6,13 +6,22 @@ difference, and any failure yields ``inf`` — the safe "don't merge"
 default (/root/reference/photo_dedup/hasher.py:238-298, esp. 283-293;
 consumed at scanner.py:382-395).
 
-Our verifier computes, per candidate pair on **normalized** content:
-  * true char-shingle Jaccard similarity          (RMS analog),
-  * containment of the smaller shingle set       (north-rule substring
-    check for truncated/vendored copies; plain-`in` + shingle-set v1,
-    documented suffix-array upgrade path),
-  * 256-bit SimHash Hamming distance — computed JVM-side with
-    ``bit_count(xor)`` on the signature words (no content needed).
+Our verifier works on **per-doc shingle sketches**, not content: the
+signature stage stores a mod-2^b sparsified shingle set per document
+(functions/signatures.py ``sketch_py``), so the pair join moves a few
+KB per doc instead of the full text — re-shingling content per pair
+would stream O(pairs × content) bytes through the shuffle and the
+Arrow boundary, which measured 20-30× slower at bench scale and, at
+100 TB, would dwarf every other stage.  Docs under the sketch cap are
+stored exactly, so the estimate degenerates to true Jaccard for
+typical source files; giants estimate with ~1/sqrt(k) error.
+
+Per pair we compute:
+  * sketch Jaccard (stage-2 verify, RMS analog),
+  * sketch containment of the smaller set (north-rule substring check
+    for truncated/vendored copies),
+  * 256-bit SimHash Hamming — JVM-side ``bit_count(xor)`` on the
+    signature words.
 
 An edge survives iff ``jaccard >= τ`` OR ``containment >= τ_c``; the
 Hamming path is candidate-generation only (mirrors the reference where
@@ -22,13 +31,14 @@ yield a non-match verdict (the ``inf`` contract).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
-from photo_dedup_spark.functions.signatures import shingle_hashes
+from photo_dedup_spark.functions.signatures import sketch_from_bytes, sketch_overlap_py
 
 _VERDICT = StructType(
     [
@@ -39,54 +49,28 @@ _VERDICT = StructType(
 
 
 def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG):
-    """pandas UDF (norm_a, norm_b) -> struct(jaccard, containment).
+    """pandas UDF (sketch_a, b_a, sketch_b, b_b) -> struct(jaccard,
+    containment) via exact set arithmetic on the common sampled
+    universe."""
 
-    Contents arrive already normalized; the UDF re-shingles with the
-    frozen config and computes exact set overlap (the candidate pair
-    count is small relative to the corpus, so full shingling per pair
-    is the same representative-verify economics as the reference's
-    per-pair RMS, scanner.py:382-395).
-    """
-
-    def _verify(norm_a: pd.Series, norm_b: pd.Series) -> pd.DataFrame:
-        # Candidate pairs share documents heavily (every doc sits in
-        # many pairs), so shingle sets are memoized per distinct text
-        # within the Arrow batch — the dominant cost drops from
-        # O(pairs × shingling) to O(docs × shingling) + set ops.
-        cache: dict[str, frozenset] = {}
-
-        def shingles_of(t: str) -> frozenset:
-            s = cache.get(t)
-            if s is None:
-                s = frozenset(shingle_hashes(t, cfg.shingle_k).tolist())
-                cache[t] = s
-            return s
-
+    def _verify(
+        sk_a: pd.Series, b_a: pd.Series, sk_b: pd.Series, b_b: pd.Series
+    ) -> pd.DataFrame:
         jac, con = [], []
-        for a, b in zip(norm_a, norm_b):
+        for a, ba, b, bb in zip(sk_a, b_a, sk_b, b_b):
             try:
                 if a is None or b is None:
                     jac.append(0.0)
                     con.append(0.0)
                     continue
-                sa, sb = shingles_of(a), shingles_of(b)
-                if not sa or not sb:
-                    jac.append(1.0 if a == b else 0.0)
-                    con.append(0.0)
-                    continue
-                inter = len(sa & sb)
-                jac.append(inter / (len(sa) + len(sb) - inter))
-                small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
-                if inter == len(small):
-                    con.append(1.0)
-                else:
-                    # substring fast-path: literal containment implies
-                    # shingle containment 1.0 (suffix-array upgrade path)
-                    small_t, big_t = (a, b) if len(a) <= len(b) else (b, a)
-                    if small_t and small_t in big_t:
-                        con.append(1.0)
-                    else:
-                        con.append(len(small & big) / len(small))
+                j, c = sketch_overlap_py(
+                    sketch_from_bytes(a),
+                    int(ba),
+                    sketch_from_bytes(b),
+                    int(bb),
+                )
+                jac.append(float(j))
+                con.append(float(c))
             except Exception:
                 # safe default: never merge on verifier failure
                 # (mirrors hasher.py:283-293 returning inf)
@@ -115,26 +99,26 @@ def verify_pairs(
     docs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """Join candidate pairs back to normalized content + simhash and
-    emit verified edges.
-
-    *docs* must carry (doc_id, norm_content, simhash).  Returns
-    (src, dst, jaccard, containment, hamming, is_edge).
-    """
+    """Join candidate pairs to per-doc (sketch, sketch_b, simhash) and
+    emit verified edges: (src, dst, jaccard, containment, hamming,
+    is_edge)."""
     a = docs.select(
         F.col("doc_id").alias("src"),
-        F.col("norm_content").alias("norm_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("sketch_b").alias("b_a"),
         F.col("simhash").alias("sim_a"),
     )
     b = docs.select(
         F.col("doc_id").alias("dst"),
-        F.col("norm_content").alias("norm_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("sketch_b").alias("b_b"),
         F.col("simhash").alias("sim_b"),
     )
     verify_udf = make_verify_udf(cfg)
     joined = pairs.join(a, "src").join(b, "dst")
     scored = joined.withColumn(
-        "verdict", verify_udf(F.col("norm_a"), F.col("norm_b"))
+        "verdict",
+        verify_udf(F.col("sk_a"), F.col("b_a"), F.col("sk_b"), F.col("b_b")),
     ).withColumn(
         "hamming",
         F.when(

@@ -7,9 +7,10 @@ algorithm, used as the recall referee (SURVEY.md §5.2.2):
      (scanner.py:441-476 hash-dict grouping, pixel-normalized keys),
   2. similarity stage over group representatives + singletons
      (scanner.py:549-567 hybrid stage-2 input),
-  3. threshold graph on TRUE similarity — jaccard ≥ τ or containment
-     ≥ τ_c — over ALL candidate pairs (the BK-tree at radius≤20 plus
-     RMS verify collapse to this once the verifier is the decider;
+  3. threshold graph — sketch jaccard ≥ τ or containment ≥ τ_c, the
+     SAME estimator the pipeline's verify stage uses — over ALL
+     candidate pairs (the BK-tree at radius≤20 plus RMS verify
+     collapse to this once the verifier is the decider;
      scanner.py:359-395),
   4. BFS connected components (scanner.py:286-310),
   5. per-component representative-verify subgroup split
@@ -30,7 +31,11 @@ from dataclasses import dataclass
 
 from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
 from photo_dedup_spark.functions.keys import norm_key_py
-from photo_dedup_spark.functions.signatures import containment_py, jaccard_py
+from photo_dedup_spark.functions.signatures import (
+    shingle_hashes,
+    sketch_overlap_py,
+    sketch_py,
+)
 from photo_dedup_spark.functions.normalize import normalize_py
 
 
@@ -41,10 +46,28 @@ class OracleResult:
     n_dropped_null: int
 
 
-def _match(a_norm: str, b_norm: str, cfg: DedupConfig) -> bool:
-    if jaccard_py(a_norm, b_norm, cfg) >= cfg.jaccard_threshold:
-        return True
-    return containment_py(a_norm, b_norm, cfg) >= cfg.containment_threshold
+class _Matcher:
+    """Same verify definition as the pipeline (sketch Jaccard /
+    containment at the frozen config) — referee and subject must share
+    the estimator so threshold-boundary decisions agree exactly."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self._sketches: dict[str, tuple[int, object]] = {}
+
+    def sketch_of(self, norm_text: str):
+        got = self._sketches.get(norm_text)
+        if got is None:
+            b, kept = sketch_py(shingle_hashes(norm_text, self.cfg.shingle_k), self.cfg)
+            got = (b, kept)
+            self._sketches[norm_text] = got
+        return got
+
+    def match(self, a_norm: str, b_norm: str) -> bool:
+        ba, ska = self.sketch_of(a_norm)
+        bb, skb = self.sketch_of(b_norm)
+        j, c = sketch_overlap_py(ska, ba, skb, bb)
+        return j >= self.cfg.jaccard_threshold or c >= self.cfg.containment_threshold
 
 
 def cluster_oracle(
@@ -74,11 +97,12 @@ def cluster_oracle(
     reps.sort()
 
     # 3. threshold graph over all rep pairs (exhaustive)
+    matcher = _Matcher(cfg)
     adj: dict = defaultdict(set)
     for i in range(len(reps)):
         for j in range(i + 1, len(reps)):
             a, b = reps[i], reps[j]
-            if _match(norm_of[a], norm_of[b], cfg):
+            if matcher.match(norm_of[a], norm_of[b]):
                 adj[a].add(b)
                 adj[b].add(a)
 
@@ -108,7 +132,7 @@ def cluster_oracle(
         for m in comp:
             placed = False
             for sub in subs:
-                if _match(norm_of[sub[0]], norm_of[m], cfg):
+                if matcher.match(norm_of[sub[0]], norm_of[m]):
                     sub.append(m)
                     placed = True
                     break

@@ -25,6 +25,9 @@ clusters are the normalized-key groups.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -85,11 +88,26 @@ def run_pipeline(
     cfg: DedupConfig = DEFAULT_CONFIG,
     mode: str = "hybrid",  # 'exact' | 'hybrid'  (scanner.py:861-867)
     collect_metrics: bool = True,
+    strict_verify: bool = False,
 ) -> PipelineResult:
     """*collect_metrics=False* skips the optional telemetry counts —
     each one is an extra Spark job re-running part of the lineage
-    (convergence counts inside CC are intrinsic and always run)."""
+    (convergence counts inside CC are intrinsic and always run).
+
+    *strict_verify* (J7, scanner.py:645-695): re-split every cluster by
+    the raw sha256 so only byte-identical members share a final cluster
+    — the ``--strict-verify`` flag.  Only meaningful in exact mode (in
+    hybrid mode near-members are intentionally non-identical)."""
     metrics: dict = {"mode": mode, "config_hash": cfg.config_hash()}
+
+    _trace = os.environ.get("SPARK_GRAFT_STAGE_TIMING") == "1"
+    _t = [time.monotonic()]
+
+    def _mark(stage: str) -> None:
+        if _trace:
+            now = time.monotonic()
+            print(f"[stage-timing] {stage}: {now - _t[0]:.1f}s", file=sys.stderr, flush=True)
+            _t[0] = now
 
     docs, ing_m = ingest(files, cfg, collect_metrics)
     metrics.update(ing_m)
@@ -106,6 +124,7 @@ def run_pipeline(
         norm_key_col(F.col("content")).alias("norm_key"),
     )
     keyed = keyed.localCheckpoint(eager=True)
+    _mark("keys")
 
     # exact star edges always exist (normalized-equality groups);
     # in mode='exact' they are the ONLY edges, so components are exactly
@@ -135,22 +154,29 @@ def run_pipeline(
             metrics["signature_reps"] = n_reps
             metrics["oversize_exact_only"] = n_reps - eligible.count()
 
+        # signed carries ONLY what downstream stages read: band_hashes +
+        # simhash chunks feed candidates, (sketch, sketch_b, simhash)
+        # feed verify.  Content does not survive this stage — the pair
+        # join must never move full text (SURVEY §4.2 select-pruning).
+        # no repartition here: reps exit the rep-window shuffle already
+        # spread over shuffle_partitions — re-shuffling would move the
+        # full content column a second time for nothing
         sign_udf = make_signature_struct_udf(cfg)
         signed = (
             eligible.select(
                 "doc_id", normalize_col(F.col("content")).alias("norm_content")
             )
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
             .withColumn("sig", sign_udf(F.col("norm_content")))
             .select(
                 "doc_id",
-                "norm_content",
-                F.col("sig.minhash").alias("minhash"),
                 F.col("sig.simhash").alias("simhash"),
                 F.col("sig.band_hashes").alias("band_hashes"),
+                F.col("sig.sketch").alias("sketch"),
+                F.col("sig.sketch_b").alias("sketch_b"),
             )
         )
         signed = signed.localCheckpoint(eager=True)
+        _mark("signatures")
 
         # --- stage 3: candidates (LSH bands ∪ SimHash prefixes)
         banded = lsh.explode_bands(signed, cfg).unionByName(
@@ -171,6 +197,7 @@ def run_pipeline(
         verified = verify_pairs(pairs, signed, cfg)
         near_edges = verified.where(F.col("is_edge")).select("src", "dst")
         near_edges = near_edges.localCheckpoint(eager=True)
+        _mark("candidates+verify")
         if collect_metrics:
             metrics["verified_edges"] = near_edges.count()
         edges = star.unionByName(near_edges)
@@ -179,6 +206,24 @@ def run_pipeline(
     nodes = keyed.select("doc_id")
     labels, cc_m = connected_components(nodes, edges, cfg)
     metrics.update(cc_m)
+    _mark("components")
+
+    # --- stage 5.5: strict re-split (J7) — composite (cluster, raw sha)
+    # key, then re-canonicalize to min doc_id per subgroup so the label
+    # domain stays LongType
+    if strict_verify:
+        relabeled = (
+            keyed.select("doc_id", "exact_key")
+            .join(labels, "doc_id")
+            .withColumn(
+                "strict_min",
+                F.min("doc_id").over(
+                    Window.partitionBy("cluster_id", "exact_key")
+                ),
+            )
+            .select("doc_id", F.col("strict_min").alias("cluster_id"))
+        )
+        labels = relabeled
 
     # --- stage 6: keep-selection over members
     members = keyed.select("doc_id", "repo", "path", "lang", "n_chars").join(

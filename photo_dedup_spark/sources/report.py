@@ -142,6 +142,45 @@ def load_report(spark: SparkSession, out_dir: str) -> tuple[dict, DataFrame]:
     return doc, groups
 
 
+def validate_source_match(doc: dict, source: str, force: bool = False) -> None:
+    """P4 (cleaner.py:265-295): the report's recorded source table must
+    equal the one being cleaned, unless forced."""
+    if force:
+        return
+    if doc.get("source") != source:
+        raise InvalidReportError(
+            f"report was scanned from {doc.get('source')!r}, not {source!r} "
+            "(pass force=True to override)"
+        )
+
+
+_DRIVE_RELATIVE = r"^[A-Za-z]:"
+
+
+def validate_relative_paths(groups: DataFrame) -> None:
+    """P5 (cleaner.py:115-174 ``_validate_relative_path``): every path in
+    the report must be relative and traversal-free — reject absolute,
+    ``..`` components, drive-relative, empty, and ``.``/self paths.
+    (Symlink escapes have no table analog: paths here are keys, not
+    filesystem dereferences.)"""
+    paths = groups.select(
+        F.explode(
+            F.concat(F.array(F.col("keep.path")), F.col("delete.path"))
+        ).alias("p")
+    )
+    bad = paths.where(
+        F.col("p").isNull()
+        | (F.length("p") == 0)
+        | F.col("p").startswith("/")
+        | F.col("p").rlike(_DRIVE_RELATIVE)
+        | (F.col("p") == ".")
+        | F.col("p").rlike(r"(^|/)\.\.(/|$)")
+    )
+    rows = bad.limit(1).collect()
+    if rows:
+        raise InvalidReportError(f"unsafe path in report: {rows[0]['p']!r}")
+
+
 def validate_report_paths(groups: DataFrame) -> None:
     """U4/P5 analog: a path may appear in at most one group and never
     both as keep and delete (cleaner.py:177-232 seen_abs_paths)."""

@@ -73,10 +73,10 @@ def run_staged_pipeline(
             .withColumn("sig", sign_udf(F.col("norm_content")))
             .select(
                 "doc_id",
-                "norm_content",
-                F.col("sig.minhash").alias("minhash"),
                 F.col("sig.simhash").alias("simhash"),
                 F.col("sig.band_hashes").alias("band_hashes"),
+                F.col("sig.sketch").alias("sketch"),
+                F.col("sig.sketch_b").alias("sketch_b"),
             )
         )
 

@@ -199,3 +199,74 @@ class TestReportRoundtrip:
             json.dump({"version": 2}, f)
         with pytest.raises(InvalidReportError):
             load_report(spark, out)
+
+
+class TestPathSafety:
+    """P5 analog of reference TestPathSafety (test_core.py:69-159)."""
+
+    def _groups(self, spark, keep_path, delete_path="ok/d.py"):
+        from photo_dedup_spark.sources.report import GROUP_SCHEMA
+
+        data = [(1, 2, {"path": keep_path, "size": 1}, [{"path": delete_path, "size": 1}])]
+        return spark.createDataFrame(data, GROUP_SCHEMA)
+
+    @pytest.mark.parametrize(
+        "bad",
+        ["/abs/path.py", "C:evil.py", "", ".", "../up.py", "a/../b.py", "x/..", ".."],
+    )
+    def test_unsafe_rejected(self, spark, bad):
+        from photo_dedup_spark.sources.report import (
+            InvalidReportError,
+            validate_relative_paths,
+        )
+
+        with pytest.raises(InvalidReportError):
+            validate_relative_paths(self._groups(spark, bad))
+
+    @pytest.mark.parametrize(
+        "ok", ["a/b.py", "dots..inside.py", "..leading_name.py", "d/.."
+               "hidden.py"]
+    )
+    def test_safe_accepted(self, spark, ok):
+        from photo_dedup_spark.sources.report import validate_relative_paths
+
+        validate_relative_paths(self._groups(spark, ok))
+
+    def test_dir_match(self):
+        from photo_dedup_spark.sources.report import (
+            InvalidReportError,
+            validate_source_match,
+        )
+
+        doc = {"source": "tableA"}
+        validate_source_match(doc, "tableA")
+        validate_source_match(doc, "tableB", force=True)
+        with pytest.raises(InvalidReportError):
+            validate_source_match(doc, "tableB")
+
+
+class TestStrictVerify:
+    def test_strict_resplit_in_exact_mode(self, spark, cfg):
+        """J7: forced 'collision' via normalized-equal (but byte-different)
+        contents — strict mode splits them (scanner.py:645-695 analog:
+        the reference forces an md5 collision via monkeypatch,
+        test_core.py:1634-1643; normalization plays that role here)."""
+        from photo_dedup_spark.pipeline import run_pipeline
+
+        rows = [
+            ("r1", "a.py", "c1", "py", "x = 1\n"),
+            ("r2", "b.py", "c2", "py", "x = 1  \r\n"),   # norm-equal, raw-diff
+            ("r3", "c.py", "c3", "py", "x = 1\n"),        # raw-equal to a.py
+        ]
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        loose = run_pipeline(spark, df, cfg, mode="exact", collect_metrics=False)
+        assert loose.assignments.select("cluster_id").distinct().count() == 1
+        strict = run_pipeline(
+            spark, df, cfg, mode="exact", collect_metrics=False, strict_verify=True
+        )
+        got = {
+            r.path: r.cluster_id for r in strict.assignments.collect()
+        }
+        assert got["a.py"] == got["c.py"] != got["b.py"]
