@@ -528,15 +528,22 @@ FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
 # -- generic relational operators over the TPC-H-ish tables -------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1-style partial+final agg; decimal sums for cross-engine
-    determinism (no float accumulation order sensitivity)."""
+    """Q1-style partial+final agg.  Sums are emitted as integer CENTS
+    (round per row, then sum bigints) so the value is engine-exact:
+    Spark widens SUM(DECIMAL(18,2)) to DECIMAL(28,2) while DuckDB
+    widens to DECIMAL(38,2), and the two canonicalize differently in
+    the driver's hash gate."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_base_price_cents"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -545,8 +552,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -564,19 +571,21 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("order_count"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spent"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_spent_cents"),
         )
-        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .orderBy(F.desc("total_spent_cents"), F.asc("c_custkey"))
         .limit(25)
     )
 
 
 SQL_TOP_CUSTOMERS = """
 SELECT c_custkey, c_name, COUNT(*) AS order_count,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spent_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
-ORDER BY total_spent DESC, c_custkey ASC LIMIT 25
+ORDER BY total_spent_cents DESC, c_custkey ASC LIMIT 25
 """
 
 
@@ -638,15 +647,32 @@ SELECT query_id, rank, match_id FROM (
 # ---------------------------------------------------------------------------
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures surfaced as driver-hashable SCALARS: the driver's
+    canonicalizer sorts rows by value and can't hash array columns, so
+    the arrays are collapsed to sha256 digests of their CSV rendering
+    (the digest still pins the exact signature values)."""
     from photo_dedup_spark.functions.normalize import normalize_col
     from photo_dedup_spark.functions.signatures import make_signature_udfs
 
     minhash_udf, simhash_udf, _ = make_signature_udfs(ENTRY_CONFIG)
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    return d.select(
+    sigs = d.select(
         "doc_id",
         minhash_udf(normalize_col(F.col("text"))).alias("minhash"),
         simhash_udf(normalize_col(F.col("text"))).alias("simhash"),
+    )
+
+    def _digest(col: str):
+        return F.sha2(
+            F.concat_ws(",", F.transform(col, lambda x: x.cast("string"))), 256
+        )
+
+    return sigs.select(
+        "doc_id",
+        _digest("minhash").alias("minhash_digest"),
+        _digest("simhash").alias("simhash_digest"),
+        F.element_at("minhash", 1).cast("long").alias("minhash_0"),
+        F.element_at("simhash", 1).alias("simhash_0"),
     )
 
 
@@ -674,16 +700,19 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_action_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1/C2 plan rows over the pipeline output."""
+    """C1/C2 plan rows over the pipeline output.
+
+    Runs in hybrid mode: the sf corpora have no raw-exact dup groups
+    (exact mode yields an EMPTY plan — a vacuous check), but near-dup
+    clusters exist at every sf, so move/rename/skip logic is actually
+    exercised."""
+    from photo_dedup_spark.operators.groups import dup_groups_only
     from photo_dedup_spark.operators.plan import move_plan, rename_plan, sequence_plan
     from photo_dedup_spark.pipeline import run_pipeline
 
     files = _docs_as_files(spark, sf_dir)
-    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="exact")
-    sel = res.assignments
-    from photo_dedup_spark.operators.groups import dup_groups_only
-
-    dups = dup_groups_only(sel)
+    res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid", collect_metrics=False)
+    dups = dup_groups_only(res.assignments)
     plan = move_plan(dups).unionByName(rename_plan(dups))
     return sequence_plan(plan)
 

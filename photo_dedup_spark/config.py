@@ -39,11 +39,16 @@ class DedupConfig:
     salt_threshold: int = 1024      # bucket size above which pair-gen is salted
     num_salts: int = 16             # salt cells per hot bucket
     bucket_overflow_cap: int = 200_000  # beyond this: exact-only + logged drop
+    # --- rep-verify split (scanner.py:382-395 representative pattern) ---
+    # components larger than this stay unsplit (single cluster) with a
+    # logged metric — a boilerplate megacomponent must not funnel into
+    # one Python task (degrade-don't-drop, same contract as the caps)
+    split_max_component: int = 100_000
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_max_records: int = 2_000  # keep content batches ≲ 256 MiB
     cc_max_iters: int = 50
-    cc_checkpoint_every: int = 3
+    cc_checkpoint_every: int = 1
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.minhash_perms:

@@ -170,14 +170,31 @@ def generate_corpus(n_bases: int = 120, seed: int = 42) -> list[CorpusRow]:
         tail = f"\nSCAFFOLD_ID = {j}\n"
         emit(f"scaffold{j % 6}/gen", f"gen/boiler_{j}.py", "py", core + tail, bp, "near" if j else "unique")
 
-    # chain case: A≈B, B≈C, A≉C (FIXTURES.md §1.8) — built from 12 code
-    # chunks, windows shifted by one: |A∩B|/|A∪B| ≈ 9/11 ≈ 0.82 ≥ τ,
-    # |A∩C|/|A∪C| ≈ 8/12 ≈ 0.67 < τ  (chunk-level shingle approximation)
+    # chain case: A≈B, B≈C, A≉C (FIXTURES.md §1.8) — built from 10
+    # equal-size code chunks with chunk-DISJOINT identifier vocabularies
+    # (so char shingles barely cross chunks), windows of 8 shifted by
+    # one: |A∩B|/|A∪B| = 7/9 ≈ 0.78 ≥ τ=0.7, |A∩C|/|A∪C| = 6/10 = 0.60
+    # < τ, containment(A,C) = 6/8 = 0.75 < τ_c=0.9 — both chain edges
+    # verify, the skip edge doesn't, with ≥4σ margin vs 512-sketch noise
     rngc = random.Random(seed + 7)
-    chunks = [_base_file(rngc, 90_001 + i, "py", 2) for i in range(12)]
-    a = "".join(chunks[0:10])
-    b = "".join(chunks[1:11])
-    c = "".join(chunks[2:12])
+
+    def _chain_chunk(j: int) -> str:
+        parts = []
+        for f in range(2):
+            parts.append(f"def ch{j}_fn_{f}(ch{j}_arg):")
+            for s in range(8):
+                parts.append(
+                    f"    ch{j}_v{s} = ch{j}_t{rngc.randint(0, 999)}"
+                    f" + ch{j}_w[{s}]"
+                )
+            parts.append(f"    return ch{j}_v0")
+            parts.append("")
+        return "\n".join(parts) + "\n"
+
+    chunks = [_chain_chunk(i) for i in range(10)]
+    a = "".join(chunks[0:8])
+    b = "".join(chunks[1:9])
+    c = "".join(chunks[2:10])
     chain = new_cluster()
     emit("chain/x", "a.py", "py", a, chain, "near")
     emit("chain/x", "b.py", "py", b, chain, "near")

@@ -135,7 +135,9 @@ def token_set_fingerprint(text: Column) -> Column:
     stand-in for a rolling-hash winnowing fingerprint; the MinHash
     signature layer covers the sketching role at scale)."""
     toks = F.array_sort(F.array_distinct(tokens_col(text)))
-    return F.sha2(F.array_join(toks, ""), 256)
+    # separator must equal chr(1) in token_set_fingerprint_sql below --
+    # written as the visible escape, never as a raw control byte
+    return F.sha2(F.array_join(toks, "\x01"), 256)
 
 
 def token_set_fingerprint_sql(expr: str) -> str:

@@ -6,21 +6,30 @@ scanner.py:815-978 stage by stage, Spark-first):
   0 ingest      project (doc_id, repo, path, lang, n_chars, content);
                 NULL content dropped with a counted error
                 (scanner.py:471-479 drop-and-count contract)
-  1 exact       raw + normalized sha256 keys (H1/H3/H4)
+  1 exact       raw + normalized sha256 keys (H1/H3/H4); per-group
+                representative = min (repo, path) member (the
+                reference's ``files[0]`` after sort, scanner.py:550)
   2 signatures  MinHash + SimHash pandas UDFs on exact-group
-                representatives + singletons only (J6 rep pattern);
-                oversize rows fall back to exact-only (hasher.py:109-119)
+                representatives only (J6 rep pattern);
+                oversize reps fall back to exact-only (hasher.py:109-119)
   3 candidates  LSH band + SimHash-prefix buckets, repartitioned and
                 skew-salted self-join (J3), pair dedup
   4 verify      Jaccard/containment pandas UDF + JVM-side Hamming (J5/J8)
-  5 components  exact star edges ∪ verified near edges → iterative
-                min-label propagation (subsumes hybrid merge J6)
-  6 groups      keep-window (W1), dup filter (P3), report structs (S4),
+  5 components  connected components over verified REP edges only —
+                the rep graph is orders of magnitude smaller than the
+                doc table, so the iterative loop never touches members
+  5.5 split     per-component representative-verify split
+                (scanner.py:382-395; operators/repsplit.py) — restores
+                the reference's chain-split precision semantics
+  6 groups      members inherit their rep's subgroup (the hybrid merge
+                J6: exact groups linked through reps fold together);
+                keep-window (W1), dup filter (P3), report structs (S4),
                 summary aggregates (A2)
 
 ``mode='exact'`` reproduces the reference's ``--no-pixel`` behavior
-(scanner.py:861-867 forces exact matching): stages 2-5 are skipped and
-clusters are the normalized-key groups.
+(scanner.py:861-867 forces exact matching): stages 2-5.5 are skipped
+and clusters are exactly the normalized-key groups — no iteration, no
+shuffle beyond one hash aggregation.
 """
 
 from __future__ import annotations
@@ -38,8 +47,12 @@ from photo_dedup_spark.functions.keys import exact_key_col, norm_key_col
 from photo_dedup_spark.functions.normalize import normalize_col
 from photo_dedup_spark.functions.signatures import make_signature_struct_udf
 from photo_dedup_spark.operators import lsh
-from photo_dedup_spark.operators.components import connected_components, exact_star_edges
+from photo_dedup_spark.operators.components import connected_components
 from photo_dedup_spark.operators.groups import keep_selection
+from photo_dedup_spark.operators.repsplit import (
+    oversized_component_count,
+    rep_verify_split,
+)
 from photo_dedup_spark.operators.verify import verify_pairs
 
 
@@ -112,7 +125,11 @@ def run_pipeline(
     docs, ing_m = ingest(files, cfg, collect_metrics)
     metrics.update(ing_m)
 
-    # --- stage 1: exact + normalized keys (pure built-ins, codegen'd)
+    # --- stage 1: exact + normalized keys (pure built-ins, codegen'd),
+    # plus the group representative: min (repo, path) member per
+    # normalized key — the reference's group[0] after sort
+    # (scanner.py:550, oracle.py:94).  A window-min struct costs one
+    # shuffle and no join.
     keyed = docs.select(
         "doc_id",
         "repo",
@@ -123,31 +140,21 @@ def run_pipeline(
         exact_key_col(F.col("content")).alias("exact_key"),
         norm_key_col(F.col("content")).alias("norm_key"),
     )
+    w_grp = Window.partitionBy("norm_key")
+    keyed = keyed.withColumn(
+        "rep_id",
+        F.min(F.struct("repo", "path", "doc_id")).over(w_grp).getField("doc_id"),
+    )
     keyed = keyed.localCheckpoint(eager=True)
     _mark("keys")
 
-    # exact star edges always exist (normalized-equality groups);
-    # in mode='exact' they are the ONLY edges, so components are exactly
-    # the normalized-key groups (the --no-pixel semantics)
-    star = exact_star_edges(keyed, "norm_key")
-
-    edges = star
     if mode == "hybrid":
-        # --- stage 2: signatures on group representatives + singletons.
+        # --- stage 2: signatures on group representatives only.
         # Representative pattern (J6, scanner.py:549-567): one signature
-        # per distinct normalized content; members ride along via the
-        # star edges.  Oversize rows keep exact keys only
-        # (degrade-don't-drop, hasher.py:109-119).
-        reps = (
-            keyed.withColumn(
-                "rep_rn",
-                F.row_number().over(
-                    Window.partitionBy("norm_key").orderBy("doc_id")
-                ),
-            )
-            .where(F.col("rep_rn") == 1)
-            .drop("rep_rn")
-        )
+        # per distinct normalized content; members inherit via rep_id.
+        # Oversize reps keep exact keys only (degrade-don't-drop,
+        # hasher.py:109-119).
+        reps = keyed.where(F.col("doc_id") == F.col("rep_id"))
         eligible = reps.where(F.col("n_chars") <= cfg.content_cap_chars)
         if collect_metrics:
             n_reps = reps.count()
@@ -156,19 +163,22 @@ def run_pipeline(
 
         # signed carries ONLY what downstream stages read: band_hashes +
         # simhash chunks feed candidates, (sketch, sketch_b, simhash)
-        # feed verify.  Content does not survive this stage — the pair
-        # join must never move full text (SURVEY §4.2 select-pruning).
-        # no repartition here: reps exit the rep-window shuffle already
-        # spread over shuffle_partitions — re-shuffling would move the
-        # full content column a second time for nothing
+        # feed verify, (repo, path) feed the split's iteration order.
+        # Content does not survive this stage — the pair join must never
+        # move full text (SURVEY §4.2 select-pruning).
         sign_udf = make_signature_struct_udf(cfg)
         signed = (
             eligible.select(
-                "doc_id", normalize_col(F.col("content")).alias("norm_content")
+                "doc_id",
+                "repo",
+                "path",
+                normalize_col(F.col("content")).alias("norm_content"),
             )
             .withColumn("sig", sign_udf(F.col("norm_content")))
             .select(
                 "doc_id",
+                "repo",
+                "path",
                 F.col("sig.simhash").alias("simhash"),
                 F.col("sig.band_hashes").alias("band_hashes"),
                 F.col("sig.sketch").alias("sketch"),
@@ -200,15 +210,52 @@ def run_pipeline(
         _mark("candidates+verify")
         if collect_metrics:
             metrics["verified_edges"] = near_edges.count()
-        edges = star.unionByName(near_edges)
 
-    # --- stage 5: connected components
-    nodes = keyed.select("doc_id")
-    labels, cc_m = connected_components(nodes, edges, cfg)
-    metrics.update(cc_m)
-    _mark("components")
+        # --- stage 5: connected components over the REP graph only —
+        # nodes are just the edge endpoints (reps with no verified edge
+        # keep their own label via the coalesce below)
+        nodes = (
+            near_edges.select(F.col("src").alias("doc_id"))
+            .unionByName(near_edges.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+        comp_labels, cc_m = connected_components(nodes, near_edges, cfg)
+        metrics.update(cc_m)
+        _mark("components")
 
-    # --- stage 5.5: strict re-split (J7) — composite (cluster, raw sha)
+        # --- stage 5.5: representative-verify split within components
+        # (scanner.py:382-395) — precision semantics; subsumes the
+        # hybrid group-merge (J6): exact groups linked through reps by
+        # a verified pair land in one subgroup
+        splits = rep_verify_split(comp_labels, signed, cfg)
+        if collect_metrics:
+            metrics["split_oversized_components"] = oversized_component_count(
+                comp_labels, cfg
+            )
+        labels = (
+            keyed.select("doc_id", "rep_id")
+            .join(
+                splits.select(
+                    F.col("doc_id").alias("rep_id"),
+                    F.col("cluster_id").alias("sub_label"),
+                ),
+                "rep_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("sub_label"), F.col("rep_id")).alias("cluster_id"),
+            )
+        )
+        _mark("split")
+        edges = near_edges
+    else:
+        # exact mode: clusters ARE the normalized-key groups — the
+        # rep_id column is already the cluster label (no CC, no joins)
+        labels = keyed.select("doc_id", F.col("rep_id").alias("cluster_id"))
+        edges = None
+
+    # --- stage 5.75: strict re-split (J7) — composite (cluster, raw sha)
     # key, then re-canonicalize to min doc_id per subgroup so the label
     # domain stays LongType
     if strict_verify:

@@ -2,9 +2,10 @@
 
 The reference walks a filesystem (os.walk, scanner.py:77-131); our
 input is a table.  Iceberg is the contract's catalog format
-(input_hint); the sandbox has no Iceberg runtime, so ``read_files``
-tries the Iceberg source and falls back to parquet — the DataFrame
-contract downstream is identical either way.
+(input_hint); ``read_files`` picks the source kind by shape (table
+identifier vs parquet path) and FAILS FAST with a typed error when the
+chosen kind can't be read — misconfiguration is never silently
+reinterpreted as a different format (scanner.py:48-74 contract).
 
 Path-hygiene filters (S1/S2/P2: skip-dirs, dot-files, depth) become
 predicates that push down to the scan.
@@ -18,17 +19,29 @@ from pyspark.sql import functions as F
 SKIP_DIRS = (".git", "__pycache__", "_duplicates_backup")  # utils.py:7-8
 
 
+class SourceError(ValueError):
+    """Typed fail-fast for unreadable/missing sources — the analog of
+    ``validate_scan_args`` raising DirectoryNotFoundError /
+    PermissionError (reference scanner.py:48-74).  Never silently
+    reinterpret one source kind as another."""
+
+
 def read_files(spark: SparkSession, source: str) -> DataFrame:
     """Load the (repo, path, commit, lang, content) table.
 
-    *source* may be an Iceberg table identifier or a parquet path.
-    """
+    *source* may be an Iceberg table identifier (no '/' and no
+    .parquet suffix) or a parquet path.  The source KIND is decided by
+    shape first; a failure to load is raised as :class:`SourceError`,
+    never swallowed into a different-format retry (S3 fail-fast
+    contract, scanner.py:48-74)."""
+    is_table_ident = "/" not in source and not source.endswith(".parquet")
     try:
-        if not source.endswith(".parquet") and "/" not in source:
+        if is_table_ident:
             return spark.read.format("iceberg").load(source)
-    except Exception:
-        pass
-    return spark.read.parquet(source)
+        return spark.read.parquet(source)
+    except Exception as e:
+        kind = "iceberg table" if is_table_ident else "parquet path"
+        raise SourceError(f"cannot read {kind} {source!r}: {e}") from e
 
 
 def hygiene_filter(df: DataFrame, recursive: bool = True) -> DataFrame:

@@ -94,8 +94,11 @@ def write_report(
 
 
 def _format_size(n: int) -> str:
-    """utils.py:11-20 human formatting, chars-as-bytes for code payload."""
-    for unit, div in (("GB", 1 << 30), ("MB", 1 << 20), ("KB", 1 << 10)):
+    """utils.py:11-20 human formatting, chars-as-bytes for code payload
+    (GB uses two decimals, smaller units one — utils.py:13-20)."""
+    if n >= 1 << 30:
+        return f"{n / (1 << 30):.2f} GB"
+    for unit, div in (("MB", 1 << 20), ("KB", 1 << 10)):
         if n >= div:
             return f"{n / div:.1f} {unit}"
     return f"{n} B"

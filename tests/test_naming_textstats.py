@@ -24,28 +24,30 @@ def _score_names(spark, names):
 
 
 class TestIsMeaningless:
-    """Truth table per naming.py:31-79."""
+    """Truth table per naming.py:31-79, incl. the CJK / non-ASCII-ratio
+    leg (naming.py:69-77) — mirrors reference test_core.py:165-264."""
+
+    TABLE = {
+        "12345.jpg": True,             # pure short number
+        "1609753382985.jpeg": True,    # unix timestamp
+        "2021-03-05_trip.jpg": False,  # date prefix
+        "IMG_4321.jpg": False,         # camera prefix
+        "img_4321.jpg": False,         # camera prefix is case-insensitive
+        "family_dinner.jpg": False,    # descriptive alpha
+        "photo (3).jpg": False,        # copy marker stripped, alpha remains
+        "___.jpg": False,              # no alpha/CJK but ASCII ⇒ NOT meaningless
+        "123_456.txt": False,          # digits+underscore, ASCII ⇒ NOT meaningless
+        "报告.txt": False,             # CJK is descriptive
+        "ファイル.txt": False,         # kana counts for the CJK leg
+        "①②③.txt": True,              # >50% non-ASCII, no alpha/CJK
+        "١٢٣.jpg": True,               # unicode digits are a pure number (\\d)
+        "a•••.txt": False,             # alpha present
+    }
 
     def test_table(self, spark):
-        got = _score_names(
-            spark,
-            [
-                "12345.jpg",            # pure number → meaningless
-                "1609753382985.jpeg",   # timestamp → meaningless
-                "2021-03-05_trip.jpg",  # date prefix → meaningful
-                "IMG_4321.jpg",         # camera prefix → meaningful
-                "family_dinner.jpg",    # descriptive → meaningful
-                "photo (3).jpg",        # copy suffix stripped, alpha → meaningful
-                "___.jpg",              # no alpha → meaningless
-            ],
-        )
-        assert got["12345.jpg"].m is True
-        assert got["1609753382985.jpeg"].m is True
-        assert got["2021-03-05_trip.jpg"].m is False
-        assert got["IMG_4321.jpg"].m is False
-        assert got["family_dinner.jpg"].m is False
-        assert got["photo (3).jpg"].m is False
-        assert got["___.jpg"].m is True
+        got = _score_names(spark, list(self.TABLE))
+        for name, expect in self.TABLE.items():
+            assert got[name].m is expect, f"{name}: {got[name].m} != {expect}"
 
 
 class TestReadabilityScore:
@@ -62,6 +64,26 @@ class TestReadabilityScore:
     def test_descriptive_beats_short_number(self, spark):
         got = _score_names(spark, ["beach_day.jpg", "42.jpg"])
         assert got["beach_day.jpg"].s > got["42.jpg"].s
+
+    def test_camera_bonus_stacks_with_descriptive(self, spark):
+        # reference naming.py:125-131: IMG_x gets +3 (camera) AND +2
+        # (descriptive alpha) — the legs stack
+        got = _score_names(spark, ["IMG_x.jpg", "zz.jpg"])
+        # +300 +200 −5·len vs +200 −2·len (×100 scale)
+        assert got["IMG_x.jpg"].s == 300 + 200 - 5
+        assert got["zz.jpg"].s == 200 - 2
+
+    def test_datetime_bonus_requires_valid_date(self, spark):
+        got = _score_names(
+            spark,
+            ["20210305_123456.jpg", "20211305_123456.jpg", "20210305_256161.jpg"],
+        )
+        # valid date+time: +1000 +500 −15·len
+        assert got["20210305_123456.jpg"].s == 1000 + 500 - 15
+        # month 13: no date, no datetime bonus
+        assert got["20211305_123456.jpg"].s < 0
+        # valid date, hour 25 invalid: +1000 only
+        assert got["20210305_256161.jpg"].s == 1000 - 15
 
     def test_date_prefix_extraction_validates_ranges(self, spark):
         got = _score_names(

@@ -86,11 +86,16 @@ class TestHybridMode:
         got = {hybrid_assign[k].cluster_id for k in quartet}
         assert len(got) == 1
 
-    def test_chain_transitive_closure(self, hybrid_assign):
-        # A≈B, B≈C ⇒ one component even though A≉C (test_core.py:1769-1818)
-        chain = [("chain/x", "a.py"), ("chain/x", "b.py"), ("chain/x", "c.py")]
-        got = {hybrid_assign[k].cluster_id for k in chain}
-        assert len(got) == 1
+    def test_chain_splits_at_c(self, hybrid_assign):
+        # A≈B, B≈C, A≉C: one CC component, but the representative-verify
+        # split separates C — C fails verification against the subgroup
+        # rep A (reference scanner.py:382-395, pinned by
+        # test_core.py:1769-1818 "CC-then-RMS-split")
+        a = hybrid_assign[("chain/x", "a.py")].cluster_id
+        b = hybrid_assign[("chain/x", "b.py")].cluster_id
+        c = hybrid_assign[("chain/x", "c.py")].cluster_id
+        assert a == b, "A≈B must share a subgroup"
+        assert c != a, "C must split from the A-led subgroup"
 
     def test_oversize_rows_cluster_by_exact_only(self, hybrid_assign):
         # degrade-don't-drop: identical oversize rows still pair via sha
