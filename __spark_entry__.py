@@ -525,6 +525,63 @@ FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
 """
 
 
+def q_parsed_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 (reference metadata.py:40-121): multi-format timestamp
+    parse with NUL/whitespace hygiene + mtime fallback chain, over
+    deterministic dirty-string fixtures derived from doc_id (three
+    valid formats, garbage, trailing NULs, NULL)."""
+    from photo_dedup_spark.functions.dates import file_date, parse_datetime_multi
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    mo = (F.col("doc_id") % 12 + 1).cast("int")
+    dy = (F.col("doc_id") % 28 + 1).cast("int")
+    hh = (F.col("doc_id") % 24).cast("int")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0, F.format_string("2021:%02d:%02d %02d:30:00", mo, dy, hh))
+        .when(F.col("doc_id") % 6 == 1, F.format_string("2019-%02d-%02d %02d:05:59", mo, dy, hh))
+        .when(F.col("doc_id") % 6 == 2, F.format_string("1999/%02d/%02d %02d:00:01", mo, dy, hh))
+        .when(F.col("doc_id") % 6 == 3, F.lit("not a date"))
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(
+                F.lit("  2020:01:"), F.format_string("%02d", dy), F.lit(" 10:20:30"),
+                F.lit("\x00\x00"),
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    mtime = F.expr("timestampadd(SECOND, CAST(doc_id AS INT), timestamp'2000-01-01 00:00:00')")
+    return d.select(
+        "doc_id",
+        F.unix_timestamp(parse_datetime_multi(raw)).alias("parsed_epoch"),
+        F.unix_timestamp(file_date(raw, mtime)).alias("effective_epoch"),
+    )
+
+
+def _sql_parsed_dates() -> str:
+    from photo_dedup_spark.functions.dates import (
+        file_date_sql,
+        parse_datetime_multi_sql,
+    )
+
+    raw = """
+      (CASE
+         WHEN doc_id % 6 = 0 THEN printf('2021:%02d:%02d %02d:30:00', (doc_id % 12 + 1), (doc_id % 28 + 1), (doc_id % 24))
+         WHEN doc_id % 6 = 1 THEN printf('2019-%02d-%02d %02d:05:59', (doc_id % 12 + 1), (doc_id % 28 + 1), (doc_id % 24))
+         WHEN doc_id % 6 = 2 THEN printf('1999/%02d/%02d %02d:00:01', (doc_id % 12 + 1), (doc_id % 28 + 1), (doc_id % 24))
+         WHEN doc_id % 6 = 3 THEN 'not a date'
+         WHEN doc_id % 6 = 4 THEN '  2020:01:' || printf('%02d', (doc_id % 28 + 1)) || ' 10:20:30' || chr(0) || chr(0)
+         ELSE NULL
+       END)"""
+    mtime = "(TIMESTAMP '2000-01-01 00:00:00' + CAST(doc_id AS INT) * INTERVAL 1 SECOND)"
+    return f"""
+SELECT doc_id,
+       CAST(epoch({parse_datetime_multi_sql(raw)}) AS BIGINT) AS parsed_epoch,
+       CAST(epoch({file_date_sql(raw, mtime)}) AS BIGINT) AS effective_epoch
+FROM documents
+"""
+
+
 # -- generic relational operators over the TPC-H-ish tables -------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "strict_resplit": q_strict_resplit,
+        "parsed_dates": q_parsed_dates,
         # relational
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -780,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": SQL_FINGERPRINTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "strict_resplit": SQL_STRICT_RESPLIT,
+        "parsed_dates": _sql_parsed_dates(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_rollup": SQL_EVENTS_ROLLUP,

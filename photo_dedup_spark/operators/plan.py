@@ -68,9 +68,23 @@ def rename_plan(selected: DataFrame) -> DataFrame:
     Best name = argmax readability score over member basenames, ties by
     name desc (the reference's ``max`` tie semantics, naming.py:164-167);
     the keep-file's extension is ALWAYS preserved (naming.py:173-174).
-    Renames where best == current are dropped.  Conflict handling with
-    paths outside the group is plan-level: a rename whose target equals
-    any surviving path is marked ``skip`` (cleaner.py:823-837).
+    Renames where best == current are dropped.
+
+    Conflict handling, mirroring cleaner.py:797-919 at plan level:
+
+      * target equals a surviving path that is NOT itself being renamed
+        away → ``skip`` (cleaner.py:823-837);
+      * two proposals share a target → first by (src) order wins, the
+        rest ``skip`` (Phase-2 "target still exists" rollback);
+      * CHAINED renames (this rename's dst == another rename's src,
+        e.g. A→B while B→C) are made execution-safe with two-phase
+        temp hops (cleaner.py:797-919 stages ALL renames through
+        ``_make_temp_rename_path``; we stage exactly the chain-implicated
+        ones): ``rename_stage`` (A→tmp) rows run before every plain
+        ``rename``, and ``rename_final`` (tmp→B) rows run after — see
+        :func:`sequence_plan` phase order.  Temp names are value-based
+        (sha256 of the src), so the plan stays deterministic where the
+        reference uses uuid4 (cleaner.py:495-509).
     """
     members = selected.select(
         "cluster_id", "path", "is_keep", readability_score(F.col("path")).alias("score")
@@ -104,15 +118,47 @@ def rename_plan(selected: DataFrame) -> DataFrame:
             "dst",
         )
     )
-    # conflict rule: target collides with a surviving path that is not
+    # conflict rule 1: target collides with a surviving path that is not
     # itself being renamed away → skip (cleaner.py:823-837)
     survivors = selected.where(F.col("is_keep")).select(F.col("path").alias("dst"))
     moving_away = proposals.select(F.col("src").alias("dst"))
     blocked = survivors.exceptAll(moving_away)
-    return proposals.join(blocked, "dst", "left_anti").unionByName(
-        proposals.join(blocked, "dst", "left_semi").withColumn(
-            "action", F.lit("skip")
-        )
+    ok = proposals.join(blocked, "dst", "left_anti")
+    skipped_ext = proposals.join(blocked, "dst", "left_semi").withColumn(
+        "action", F.lit("skip")
+    )
+    # conflict rule 2: duplicate targets among surviving proposals —
+    # first by src order wins, later ones skip
+    w_dst = Window.partitionBy("dst").orderBy("src", "cluster_id")
+    ranked = ok.withColumn("dst_rn", F.row_number().over(w_dst))
+    ok = ranked.where(F.col("dst_rn") == 1).drop("dst_rn")
+    skipped_dup = (
+        ranked.where(F.col("dst_rn") > 1)
+        .drop("dst_rn")
+        .withColumn("action", F.lit("skip"))
+    )
+    # chain detection: dst == another surviving rename's src ⇒ two-phase
+    srcs = ok.select(F.col("src").alias("dst"))
+    chained = ok.join(srcs, "dst", "left_semi")
+    plain = ok.join(srcs, "dst", "left_anti")
+    tmp = F.concat(F.lit(".__dedup_tmp_"), F.sha2(F.col("src"), 256).substr(1, 16))
+    stage_rows = chained.select(
+        F.lit("rename_stage").alias("action"),
+        "cluster_id",
+        "src",
+        tmp.alias("dst"),
+    )
+    final_rows = chained.select(
+        F.lit("rename_final").alias("action"),
+        "cluster_id",
+        tmp.alias("src"),
+        "dst",
+    )
+    return (
+        plain.unionByName(stage_rows)
+        .unionByName(final_rows)
+        .unionByName(skipped_ext)
+        .unionByName(skipped_dup)
     )
 
 
@@ -186,23 +232,77 @@ def date_rename_plan(
     return renames.unionByName(mtimes)
 
 
+# total phase order (cleaner.py:718-1098): Phase A moves, then Phase B
+# renames — stage hops BEFORE plain renames BEFORE final hops, so
+# executing the plan in ascending ``seq`` never clobbers a chain
+# member — then Phase C, with no-op skips last.
+def _phase_col():
+    return (
+        F.when(F.col("action") == "move", 0)
+        .when(F.col("action") == "rename_stage", 1)
+        .when(F.col("action") == "rename", 2)
+        .when(F.col("action") == "rename_final", 3)
+        .when(F.col("action") == "date_rename", 4)
+        .when(F.col("action") == "set_mtime", 5)
+        .otherwise(9)  # skip
+    )
+
+_SEQ_BUCKETS = 64
+
+
 def sequence_plan(plan: DataFrame) -> DataFrame:
-    """Assign the total event order: moves before renames (Phase A then
-    B, cleaner.py:718-919), then (src) — deterministic and value-based."""
-    phase = F.when(F.col("action") == "move", 0).otherwise(1)
-    w = Window.orderBy(phase, "src", "dst")
-    return plan.withColumn("seq", F.row_number().over(w))
+    """Assign the total event order, value-based and DISTRIBUTED.
+
+    A single ``Window.orderBy`` funnels the whole plan through one task
+    — a scale-killer.  Instead: two-level ranking.  Rows hash into
+    ``_SEQ_BUCKETS`` buckets; ``row_number`` runs per (phase, bucket)
+    partition; bucket offsets come from a cumulative sum over the tiny
+    (phases × buckets) count table (broadcast back).  The resulting
+    order is (phase, bucket, src, dst) — total, deterministic, and
+    computed with no single-partition exchange.
+    """
+    p = plan.withColumn("_phase", _phase_col()).withColumn(
+        "_bucket", F.pmod(F.xxhash64("src", "dst"), F.lit(_SEQ_BUCKETS)).cast("int")
+    )
+    w_in = Window.partitionBy("_phase", "_bucket").orderBy("src", "dst")
+    ranked = p.withColumn("_rn", F.row_number().over(w_in))
+    # counts table is ≤ #phases × _SEQ_BUCKETS rows BY CONSTRUCTION (a
+    # constant, independent of plan size) — the cumulative offsets are
+    # computed driver-side and rejoined as a broadcast literal table,
+    # so NO single-partition exchange touches the plan itself
+    counts = sorted(
+        (
+            (r["_phase"], r["_bucket"], r["_n"])
+            for r in p.groupBy("_phase", "_bucket")
+            .agg(F.count("*").alias("_n"))
+            .collect()
+        )
+    )
+    offsets, running = [], 0
+    for ph, bk, n in counts:
+        offsets.append((ph, bk, running))
+        running += n
+    spark = plan.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, "_phase int, _bucket int, _offset long"
+    )
+    return (
+        ranked.join(F.broadcast(off_df), ["_phase", "_bucket"])
+        .withColumn("seq", F.col("_offset") + F.col("_rn"))
+        .drop("_phase", "_bucket", "_rn", "_offset")
+    )
 
 
 def undo_plan(plan: DataFrame) -> DataFrame:
     """C4: inverse plan — reverse order, src/dst swapped; ``skip`` rows
-    drop out (they did nothing)."""
+    drop out (they did nothing).  ``max(seq)`` rides along as a
+    broadcast scalar — no eager driver-side count mid-plan."""
     doable = plan.where(F.col("action") != "skip")
-    n = doable.count()
-    return doable.select(
+    mx = doable.agg(F.max("seq").alias("_mx"))
+    return doable.crossJoin(F.broadcast(mx)).select(
         F.concat(F.lit("undo_"), F.col("action")).alias("action"),
         "cluster_id",
         F.col("dst").alias("src"),
         F.col("src").alias("dst"),
-        (F.lit(n + 1) - F.col("seq")).alias("seq"),
+        (F.col("_mx") + 1 - F.col("seq")).alias("seq"),
     )

@@ -33,7 +33,15 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
-VALID_ACTIONS = ("move", "rename", "date_rename", "set_mtime", "skip")
+VALID_ACTIONS = (
+    "move",
+    "rename",
+    "rename_stage",   # two-phase chain hop: src → temp (cleaner.py:797-919)
+    "rename_final",   # two-phase chain hop: temp → final dst
+    "date_rename",
+    "set_mtime",
+    "skip",
+)
 
 STATUS_FLOW = ("in_progress", "moves_complete", "complete", "undone")
 
@@ -123,6 +131,14 @@ def load_events(spark: SparkSession, log_dir: str) -> tuple[dict, DataFrame]:
     bad_rows = bad.limit(1).collect()
     if bad_rows:
         raise EventLogError(f"malformed event row: {bad_rows[0].asDict()}")
+    # path-safety on every replayable entry (C4, cleaner.py:441-479
+    # _validate_undo_entries): an event stream is untrusted input to
+    # undo — reject absolute, drive-relative, traversal, empty, and
+    # self paths before anything replays them.  set_mtime's dst is a
+    # timestamp, not a path; skip rows replay nothing.
+    unsafe = _unsafe_path_rows(ev).limit(1).collect()
+    if unsafe:
+        raise EventLogError(f"unsafe path in event row: {unsafe[0].asDict()}")
     got = {
         r["action"]: r["n"]
         for r in ev.groupBy("action").agg(F.count("*").alias("n")).collect()
@@ -130,6 +146,32 @@ def load_events(spark: SparkSession, log_dir: str) -> tuple[dict, DataFrame]:
     if got != expected:
         raise EventLogError(f"event counts {got} != meta counts {expected}")
     return meta, ev
+
+
+_DRIVE_RELATIVE = r"^[A-Za-z]:"
+
+
+def _path_is_unsafe(p):
+    """Same predicate family as report.validate_relative_paths (P5,
+    cleaner.py:115-174): absolute, drive-relative, ``..`` component,
+    empty, or self paths are rejected."""
+    return (
+        p.isNull()
+        | (F.length(p) == 0)
+        | p.startswith("/")
+        | p.rlike(_DRIVE_RELATIVE)
+        | (p == ".")
+        | p.rlike(r"(^|/)\.\.(/|$)")
+    )
+
+
+def _unsafe_path_rows(ev: DataFrame) -> DataFrame:
+    replayable = ev.where(F.col("action") != "skip")
+    src_bad = _path_is_unsafe(F.col("src"))
+    dst_bad = F.when(
+        F.col("action") == "set_mtime", F.lit(False)
+    ).otherwise(_path_is_unsafe(F.col("dst")))
+    return replayable.where(src_bad | dst_bad)
 
 
 def replay_order_for_undo(events: DataFrame) -> DataFrame:

@@ -139,6 +139,113 @@ class TestRenamePlan:
         assert skips[0].dst == "d/2020-01-02_x.py"
 
 
+def _execute(plan_rows, files: set[str]) -> set[str]:
+    """In-memory plan executor: applies rows in ascending seq order and
+    asserts no rename ever clobbers an existing path — the semantics the
+    reference guarantees with two-phase temp hops (cleaner.py:797-919,
+    pinned by test_core.py:555-642 chained renames)."""
+    files = set(files)
+    for r in sorted(plan_rows, key=lambda r: r.seq):
+        if r.action == "skip":
+            continue
+        assert r.src in files, f"{r.action} src missing: {r.src}"
+        assert r.dst not in files, f"{r.action} clobbers {r.dst}"
+        files.remove(r.src)
+        files.add(r.dst)
+    return files
+
+
+class TestChainedRenames:
+    """Transplant of reference test_core.py:555-642: A→B while B→C while
+    C→D must all succeed when the plan executes in seq order."""
+
+    @pytest.fixture()
+    def chain_selected(self, spark):
+        rows = [
+            # c1: keep d/111.py, best member stem 2020-01-01_a
+            (1, 1, "d/111.py", 100),
+            (2, 1, "x/2020-01-01_a.txt", 90),
+            # c2: keep d/2020-01-01_a.py (the TARGET of c1's rename),
+            # renames to 2020-01-02_b (tie → stem desc)
+            (3, 2, "d/2020-01-01_a.py", 100),
+            (4, 2, "x/2020-01-02_b.txt", 90),
+            # c3: keep d/2020-01-02_b.py renames to 2020-01-03_c
+            (5, 3, "d/2020-01-02_b.py", 100),
+            (6, 3, "x/2020-01-03_c.txt", 90),
+        ]
+        return keep_selection(spark.createDataFrame(rows, MEMBER_SCHEMA))
+
+    def test_chain_emits_two_phase_rows(self, chain_selected):
+        plan = rename_plan(dup_groups_only(chain_selected)).collect()
+        by_action = {}
+        for r in plan:
+            by_action.setdefault(r.action, []).append(r)
+        # two chain-implicated renames staged, one plain tail rename
+        assert len(by_action.get("rename_stage", [])) == 2
+        assert len(by_action.get("rename_final", [])) == 2
+        assert len(by_action.get("rename", [])) == 1
+        # stage dst is a deterministic temp, final src matches it
+        stage_dsts = {r.dst for r in by_action["rename_stage"]}
+        final_srcs = {r.src for r in by_action["rename_final"]}
+        assert stage_dsts == final_srcs
+        assert all(d.startswith(".__dedup_tmp_") for d in stage_dsts)
+
+    def test_chain_executes_without_clobber(self, chain_selected):
+        dups = dup_groups_only(chain_selected)
+        plan = sequence_plan(move_plan(dups).unionByName(rename_plan(dups)))
+        files = {r.path for r in chain_selected.collect()}
+        final = _execute(plan.collect(), files)
+        # every rename landed: all three targets exist, no temps remain
+        assert {"d/2020-01-01_a.py", "d/2020-01-02_b.py", "d/2020-01-03_c.py"} <= final
+        assert not any(p.startswith(".__dedup_tmp_") for p in final)
+
+    def test_undo_restores_initial_state(self, chain_selected):
+        dups = dup_groups_only(chain_selected)
+        plan = sequence_plan(move_plan(dups).unionByName(rename_plan(dups)))
+        files = {r.path for r in chain_selected.collect()}
+        after = _execute(plan.collect(), files)
+        restored = _execute(undo_plan(plan).collect(), after)
+        assert restored == files
+
+    def test_duplicate_targets_keep_first_skip_rest(self, spark):
+        # two clusters whose keeps resolve to the SAME best name: first
+        # by src order wins, the other becomes a skip row (Phase-2
+        # "target still exists" semantics, cleaner.py:855-880)
+        rows = [
+            (1, 1, "d/111.py", 100),
+            (2, 1, "x/2021-06-01_pic.txt", 90),
+            (3, 2, "d/222.py", 100),
+            (4, 2, "y/2021-06-01_pic.txt", 90),
+        ]
+        sel = keep_selection(spark.createDataFrame(rows, MEMBER_SCHEMA))
+        plan = rename_plan(dup_groups_only(sel)).collect()
+        renames = [r for r in plan if r.action == "rename"]
+        skips = [r for r in plan if r.action == "skip"]
+        assert len(renames) == 1 and renames[0].src == "d/111.py"
+        assert len(skips) == 1 and skips[0].src == "d/222.py"
+
+
+class TestSequencePlanShape:
+    def test_no_single_partition_global_window(self, spark, selected):
+        # the two-level rank must not funnel the plan through ONE task:
+        # no Exchange SinglePartition feeding a Window/Sort in the plan
+        dups = dup_groups_only(selected)
+        plan = sequence_plan(move_plan(dups).unionByName(rename_plan(dups)))
+        physical = plan._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in physical, physical
+
+    def test_seq_is_total_and_phase_ordered(self, selected):
+        dups = dup_groups_only(selected)
+        plan = sequence_plan(move_plan(dups).unionByName(rename_plan(dups))).collect()
+        seqs = sorted(r.seq for r in plan)
+        assert seqs == list(range(1, len(plan) + 1))
+        phase_of = {"move": 0, "rename_stage": 1, "rename": 2, "rename_final": 3,
+                    "date_rename": 4, "set_mtime": 5, "skip": 9}
+        ordered = sorted(plan, key=lambda r: r.seq)
+        phases = [phase_of[r.action] for r in ordered]
+        assert phases == sorted(phases)
+
+
 class TestUndo:
     def test_inverse_plan_reverses_order_and_swaps(self, selected):
         dups = dup_groups_only(selected)

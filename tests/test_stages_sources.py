@@ -184,6 +184,131 @@ class TestEventLog:
             load_events(spark, d)
 
 
+    @pytest.mark.parametrize(
+        "src,dst",
+        [
+            ("/abs/evil.py", "ok.py"),          # absolute src
+            ("ok.py", "../escape.py"),          # traversal dst
+            ("a/../b.py", "ok.py"),             # inner traversal
+            ("C:drive.py", "ok.py"),            # drive-relative
+            ("", "ok.py"),                      # empty
+        ],
+    )
+    def test_unsafe_undo_paths_rejected(self, spark, tmp_path, src, dst):
+        # C4 path-safety (cleaner.py:441-479 _validate_undo_entries):
+        # the event stream is untrusted input to undo
+        from photo_dedup_spark.sources.eventlog import (
+            EventLogError,
+            load_events,
+            write_events,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, "rename", src, dst, 1)],
+            "seq long, action string, src string, dst string, cluster_id long",
+        )
+        d = str(tmp_path / "log")
+        write_events(bad, d)
+        with pytest.raises(EventLogError, match="unsafe|malformed"):
+            load_events(spark, d)
+
+    def test_set_mtime_dst_is_not_a_path(self, spark, tmp_path):
+        # set_mtime's dst carries a timestamp string — exempt from the
+        # path predicate (it would false-positive on ':' etc.)
+        from photo_dedup_spark.sources.eventlog import load_events, write_events
+
+        ok = spark.createDataFrame(
+            [(1, "set_mtime", "a/f.py", "2021-01-01T00:00:00Z", 1)],
+            "seq long, action string, src string, dst string, cluster_id long",
+        )
+        d = str(tmp_path / "log")
+        write_events(ok, d)
+        _, ev = load_events(spark, d)
+        assert ev.count() == 1
+
+    def test_two_phase_actions_roundtrip(self, spark, tmp_path):
+        from photo_dedup_spark.sources.eventlog import (
+            load_events,
+            replay_order_for_undo,
+            write_events,
+        )
+
+        plan = spark.createDataFrame(
+            [
+                (1, "rename_stage", "a.py", ".__dedup_tmp_ab12.py", 1),
+                (2, "rename", "b.py", "c.py", 1),
+                (3, "rename_final", ".__dedup_tmp_ab12.py", "b.py", 1),
+            ],
+            "seq long, action string, src string, dst string, cluster_id long",
+        )
+        d = str(tmp_path / "log")
+        write_events(plan, d)
+        _, ev = load_events(spark, d)
+        assert [r.action for r in replay_order_for_undo(ev).collect()] == [
+            "rename_final",
+            "rename",
+            "rename_stage",
+        ]
+
+
+class TestReadFilesFailFast:
+    """S3 typed fail-fast (reference scanner.py:48-74): misconfiguration
+    raises, never silently falls back to another source kind."""
+
+    def test_missing_parquet_raises_sourceerror(self, spark, tmp_path):
+        from photo_dedup_spark.sources.io import SourceError, read_files
+
+        with pytest.raises(SourceError, match="parquet path"):
+            read_files(spark, str(tmp_path / "nope.parquet")).collect()
+
+    def test_missing_table_ident_raises_sourceerror(self, spark):
+        from photo_dedup_spark.sources.io import SourceError, read_files
+
+        with pytest.raises(SourceError, match="iceberg table"):
+            read_files(spark, "no_such_catalog_table").collect()
+
+    def test_valid_parquet_reads(self, spark, tmp_path):
+        from photo_dedup_spark.sources.io import read_files
+
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame([(1,)], "x long").write.parquet(p)
+        assert read_files(spark, p).count() == 1
+
+
+class TestParseDates:
+    """F5/F6 truth table vs reference metadata.py:40-60 semantics."""
+
+    def test_multi_format_and_fallback(self, spark):
+        from photo_dedup_spark.functions.dates import file_date, parse_datetime_multi
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("2021:03:05 10:11:12",),        # EXIF colon format
+            ("2021-03-05 10:11:12",),        # dash
+            ("2021/03/05 10:11:12",),        # slash
+            ("  2021:03:05 10:11:12\x00\x00",),  # whitespace + NUL tail
+            ("not a date",),
+            ("",),
+            (None,),
+            ("2021:13:05 10:11:12",),        # month 13 → unparseable
+        ]
+        df = spark.createDataFrame(rows, "raw string").withColumn(
+            "mtime", F.lit("2000-06-01 00:00:00").cast("timestamp")
+        )
+        out = df.select(
+            "raw",
+            parse_datetime_multi(F.col("raw")).alias("p"),
+            file_date(F.col("raw"), F.col("mtime")).alias("eff"),
+        ).collect()
+        by_raw = {r.raw: r for r in out}
+        want = "2021-03-05 10:11:12"
+        for k in rows[:4]:
+            assert str(by_raw[k[0]].p) == want, k
+        for k in ("not a date", "", None, "2021:13:05 10:11:12"):
+            assert by_raw[k].p is None
+            assert str(by_raw[k].eff) == "2000-06-01 00:00:00"  # mtime fallback
+
+
 class TestHygieneFilter:
     def test_skip_dirs_and_dotfiles(self, spark):
         from photo_dedup_spark.sources.io import hygiene_filter
