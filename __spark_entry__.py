@@ -465,11 +465,24 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+# grams occurring in more docs of one source than this are dropped from
+# the pair join ON BOTH ENGINES — identical semantics, and the join key
+# (source, gram) can never produce more than _NGRAM_DF_CAP² rows, so no
+# boilerplate gram turns the inverted index into a cartesian bomb
+_NGRAM_DF_CAP = 1000
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard dedup variant (training-data mandate): word
-    3-gram overlap for same-source candidate pairs — integer counts
-    only, so the oracle hash is float-free.  The blocking key (source)
-    is the cheap-candidate analog of P1."""
+    """n-gram Jaccard dedup (training-data mandate): same-source pairs
+    sharing ≥1 word 3-gram, with exact intersection/union counts —
+    integer-only, so the oracle hash is float-free.
+
+    Scale path: an INVERTED-INDEX join — explode distinct grams, join
+    on (source, gram), count shared grams per pair — instead of the
+    all-pairs-within-block self-join (O(n²) per source; a cartesian
+    bomb at 100 TB).  Work is Σ df(gram)² bounded by the df cap; at
+    higher similarity thresholds the documented upgrade is PPJoin-style
+    df-ordered prefix filtering over the same index."""
     d = _docs(spark, sf_dir).where(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
@@ -479,49 +492,80 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         "source",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("t", i + 1), F.element_at("t", i + 2), F.element_at("t", i + 3)
-                ),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    ),
+                )
             )
-        ).alias("g"),
+        ).alias("gram"),
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
-    return (
+    hot = (
+        grams.groupBy("source", "gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > _NGRAM_DF_CAP)
+        .select("source", "gram")
+    )
+    kept = grams.join(hot, ["source", "gram"], "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
         a.join(
             b,
             on=[
                 F.col("a.source") == F.col("b.source"),
+                F.col("a.gram") == F.col("b.gram"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "src")
+        .join(sb, "dst")
         .select(
-            F.col("a.doc_id").alias("src"),
-            F.col("b.doc_id").alias("dst"),
-            inter.alias("inter_cnt"),
-            (F.size(F.col("a.g")) + F.size(F.col("b.g")) - inter).alias("union_cnt"),
+            "src",
+            "dst",
+            F.col("inter_cnt").cast("long").alias("inter_cnt"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt"))
+            .cast("long")
+            .alias("union_cnt"),
         )
-        .withColumn("inter_cnt", F.col("inter_cnt").cast("long"))
-        .withColumn("union_cnt", F.col("union_cnt").cast("long"))
     )
 
 
-SQL_NGRAM_JACCARD_PAIRS = """
+SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH toks AS (
   SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
-), grams AS (
+), ex AS (
   SELECT doc_id, source,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS g
+         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS gram
   FROM toks WHERE len(t) >= 3
+), kept AS (
+  SELECT * FROM ex
+  QUALIFY COUNT(*) OVER (PARTITION BY source, gram) <= {_NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS inter_cnt
+  FROM kept a JOIN kept b
+    ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS src, b.doc_id AS dst,
-       len(list_intersect(a.g, b.g))::BIGINT AS inter_cnt,
-       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::BIGINT AS union_cnt
-FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+SELECT i.src, i.dst,
+       CAST(i.inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(sa.sz + sb.sz - i.inter_cnt AS BIGINT) AS union_cnt
+FROM inter i JOIN sizes sa ON i.src = sa.doc_id JOIN sizes sb ON i.dst = sb.doc_id
 """
 
 
