@@ -569,6 +569,39 @@ FROM inter i JOIN sizes sa ON i.src = sa.doc_id JOIN sizes sb ON i.dst = sb.doc_
 """
 
 
+# H4 dispatch fixture: these langs key on normalized content, the rest raw
+_DISPATCH_LANGS = ("en", "de")
+
+
+def q_dispatched_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 ``compute_hash`` dispatch (reference hasher.py:157-172): one
+    conditional key column — normalized key for _DISPATCH_LANGS rows
+    (the ``use_pixel and ext in IMAGE_EXTENSIONS`` branch), raw key
+    otherwise — plus the load-bearing kind tag (the ``FILE:`` prefix
+    analog, scanner.py:553)."""
+    from photo_dedup_spark.functions.keys import dispatch_key_col, key_kind_col
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        key_kind_col(F.col("lang"), _DISPATCH_LANGS).alias("key_kind"),
+        dispatch_key_col(F.col("lang"), F.col("text"), _DISPATCH_LANGS).alias(
+            "dispatch_key"
+        ),
+    )
+
+
+def _sql_dispatched_keys() -> str:
+    from photo_dedup_spark.functions.keys import dispatch_key_sql, key_kind_sql
+
+    return f"""
+SELECT doc_id,
+       {key_kind_sql('lang', _DISPATCH_LANGS)} AS key_kind,
+       {dispatch_key_sql('lang', 'text', _DISPATCH_LANGS)} AS dispatch_key
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_parsed_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/F6 (reference metadata.py:40-121): multi-format timestamp
     parse with NUL/whitespace hygiene + mtime fallback chain, over
@@ -847,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "strict_resplit": q_strict_resplit,
+        "dispatched_keys": q_dispatched_keys,
         "parsed_dates": q_parsed_dates,
         # relational
         "pricing_summary": q_pricing_summary,
@@ -882,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": SQL_FINGERPRINTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "strict_resplit": SQL_STRICT_RESPLIT,
+        "dispatched_keys": _sql_dispatched_keys(),
         "parsed_dates": _sql_parsed_dates(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,

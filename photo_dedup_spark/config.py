@@ -50,7 +50,14 @@ class DedupConfig:
     cc_max_iters: int = 50
     cc_checkpoint_every: int = 1
 
+    # H4 dispatch: langs keyed on NORMALIZED content (pixel-hash analog);
+    # None = normalize everything (the v1 default — every payload is text)
+    normalize_langs: tuple[str, ...] | None = None
+
     def __post_init__(self) -> None:
+        # stage-0 parameter validation (scanner.py:849-867 raises
+        # InvalidParameterError on bad thresholds; pinned by reference
+        # tests: negative thresholds rejected, test_core.py:1937-1951)
         if self.lsh_bands * self.lsh_rows != self.minhash_perms:
             raise ValueError(
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
@@ -58,6 +65,14 @@ class DedupConfig:
             )
         if self.simhash_bits % 64 != 0:
             raise ValueError("simhash_bits must be a multiple of 64")
+        if self.hamming_threshold < 0:
+            raise ValueError("hamming_threshold must be >= 0")
+        if not 0.0 < self.jaccard_threshold <= 1.0:
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+        if not 0.0 < self.containment_threshold <= 1.0:
+            raise ValueError("containment_threshold must be in (0, 1]")
+        if self.num_salts < 1 or self.salt_threshold < 2:
+            raise ValueError("num_salts >= 1 and salt_threshold >= 2 required")
 
     @property
     def simhash_words(self) -> int:

@@ -69,6 +69,41 @@ def partial_key_sql(expr: str) -> str:
     return f"case when {n} <= {2 * PARTIAL_CHUNK} then sha256({expr}) else {big} end"
 
 
+def key_kind_col(lang: Column, normalize_langs: tuple[str, ...]) -> Column:
+    """H4 dispatch kind (hasher.py:157-172): 'NORM' when the row's lang
+    is keyed on normalized content (the ``use_pixel and ext in
+    IMAGE_EXTENSIONS`` branch), else 'RAW' — the ``FILE:`` prefix
+    analog; the prefix is load-bearing in the reference
+    (scanner.py:553 strict-verify targets FILE-kind groups only)."""
+    return F.when(lang.isin(*normalize_langs), F.lit("NORM")).otherwise(F.lit("RAW"))
+
+
+def key_kind_sql(lang_expr: str, normalize_langs: tuple[str, ...]) -> str:
+    langs = ", ".join(f"'{x}'" for x in normalize_langs)
+    return f"(case when {lang_expr} in ({langs}) then 'NORM' else 'RAW' end)"
+
+
+def dispatch_key_col(
+    lang: Column, content: Column, normalize_langs: tuple[str, ...]
+) -> Column:
+    """H4 ``compute_hash`` dispatch: normalized key for *normalize_langs*
+    rows, raw key otherwise — one conditional column, both branches
+    codegen'd."""
+    return F.when(
+        lang.isin(*normalize_langs), norm_key_col(content)
+    ).otherwise(exact_key_col(content))
+
+
+def dispatch_key_sql(
+    lang_expr: str, content_expr: str, normalize_langs: tuple[str, ...]
+) -> str:
+    langs = ", ".join(f"'{x}'" for x in normalize_langs)
+    return (
+        f"(case when {lang_expr} in ({langs}) then {norm_key_sql(content_expr)} "
+        f"else {exact_key_sql(content_expr)} end)"
+    )
+
+
 # --- pure-Python twins (sequential oracle / unit tests) ---
 
 def exact_key_py(text: str) -> str:

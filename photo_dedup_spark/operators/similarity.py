@@ -93,36 +93,64 @@ def cosine_topk_srp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only within SRP buckets, union over ``n_tables``
     independent hash tables (each table a different seed), dedup, rank.
-    Candidate volume per bucket is corpus/2^n_bits per table — the knob
-    that keeps this sub-quadratic at scale."""
+
+    Scale controls (both reuse the text-dedup skew machinery — ONE
+    skew engine for LSH bands and vector buckets):
+
+    * ``target_bucket``: when set, ``n_bits`` auto-scales with corpus
+      size — ``ceil(log2(N / target_bucket))`` — so expected bucket
+      occupancy stays ~constant as N grows (a fixed n_bits means
+      buckets of N/2^bits, which quietly re-quadratifies at 100×).
+    * hot buckets (duplicate-heavy embedding clusters) route through
+      :func:`photo_dedup_spark.operators.lsh.candidate_pairs` — plain
+      self-join for small buckets, salt-cell pair tiling for hot ones,
+      logged overflow drop beyond the cap.
+    """
+    from photo_dedup_spark.config import DedupConfig
+    from photo_dedup_spark.operators import lsh
+
     base = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
     )
-    all_pairs = None
+    if target_bucket is not None:
+        n = base.count()
+        n_bits = max(n_bits, int(np.ceil(np.log2(max(2, n / target_bucket)))))
+    banded = None
     for t in range(n_tables):
         planes = srp_hyperplanes(dim, n_bits, seed=42 + t)
         bucket_udf = make_srp_bucket_udf(planes)
-        bucketed = base.withColumn("bucket", bucket_udf(F.col("vec")))
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        pairs = a.join(
-            b,
-            on=[
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.vid") != F.col("b.vid"),
-            ],
-        ).select(
-            F.col("a.vid").alias("query_id"),
-            F.col("b.vid").alias("match_id"),
-            F.col("a.vec").alias("qvec"),
-            F.col("b.vec").alias("cvec"),
+        part = base.select(
+            "doc_id",
+            F.lit(t).alias("band_id"),
+            bucket_udf(F.col("vec")).alias("band_hash"),
         )
-        all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
-    deduped = all_pairs.dropDuplicates(["query_id", "match_id"])
-    scored = deduped.withColumn(
-        "cosine", _cosine_udf(F.col("qvec"), F.col("cvec"))
+        banded = part if banded is None else banded.unionByName(part)
+    # salted, overflow-capped bucket pair generation (src < dst)
+    pair_cfg = DedupConfig(salt_threshold=2048, num_salts=16)
+    pairs, _stats = lsh.candidate_pairs(banded, pair_cfg)
+    directed = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    vecs = base
+    scored = (
+        directed.join(
+            vecs.select(F.col("doc_id").alias("src"), F.col("vec").alias("qvec")),
+            "src",
+        )
+        .join(
+            vecs.select(F.col("doc_id").alias("dst"), F.col("vec").alias("cvec")),
+            "dst",
+        )
+        .withColumn("cosine", _cosine_udf(F.col("qvec"), F.col("cvec")))
+        .select(
+            F.col("src").alias("query_id"),
+            F.col("dst").alias("match_id"),
+            "cosine",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (

@@ -99,11 +99,20 @@ def run_pipeline(
     spark: SparkSession,
     files: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
-    mode: str = "hybrid",  # 'exact' | 'hybrid'  (scanner.py:861-867)
+    mode: str = "hybrid",  # 'exact' | 'similar' | 'hybrid'  (scanner.py:852-867)
     collect_metrics: bool = True,
     strict_verify: bool = False,
 ) -> PipelineResult:
-    """*collect_metrics=False* skips the optional telemetry counts —
+    """*mode* mirrors the reference's ``image_match`` triple
+    (scanner.py:852-856, invalid values raise like
+    InvalidParameterError).  'similar' runs the same distributed path
+    as 'hybrid': in the reference they differ only in WHICH files reach
+    the dHash stage (all vs pixel-unmatched + reps) — under the
+    representative pattern + CC + rep-verify split, both produce
+    identical clusters, because exact-equal docs always share their
+    rep's subgroup.
+
+    *collect_metrics=False* skips the optional telemetry counts —
     each one is an extra Spark job re-running part of the lineage
     (convergence counts inside CC are intrinsic and always run).
 
@@ -111,6 +120,10 @@ def run_pipeline(
     the raw sha256 so only byte-identical members share a final cluster
     — the ``--strict-verify`` flag.  Only meaningful in exact mode (in
     hybrid mode near-members are intentionally non-identical)."""
+    if mode not in ("exact", "similar", "hybrid"):
+        raise ValueError(
+            f"invalid mode: {mode!r} — must be one of: exact, similar, hybrid"
+        )
     metrics: dict = {"mode": mode, "config_hash": cfg.config_hash()}
 
     _trace = os.environ.get("SPARK_GRAFT_STAGE_TIMING") == "1"
@@ -128,8 +141,27 @@ def run_pipeline(
     # --- stage 1: exact + normalized keys (pure built-ins, codegen'd),
     # plus the group representative: min (repo, path) member per
     # normalized key — the reference's group[0] after sort
-    # (scanner.py:550, oracle.py:94).  A window-min struct costs one
-    # shuffle and no join.
+    # (scanner.py:550, oracle.py:94).
+    #
+    # The rep is picked with groupBy().agg(min(struct(...))), NOT a
+    # window: a hash aggregate partial-combines map-side, so at most
+    # one content-bearing candidate row per key per mapper crosses the
+    # shuffle, while a window min would shuffle EVERY row's content.
+    # (Struct comparison stops at doc_id — content is payload, never
+    # compared.)  keyed itself stays lazy: every consumer prunes its
+    # own columns from the parquet scan, which beats materializing a
+    # content-bearing checkpoint.
+    # H4 dispatch: with cfg.normalize_langs set, only those langs key on
+    # normalized content — the rest key raw (compute_hash branch,
+    # hasher.py:157-172); None keeps the all-normalized v1 behavior
+    if cfg.normalize_langs is None:
+        group_key = norm_key_col(F.col("content"))
+    else:
+        from photo_dedup_spark.functions.keys import dispatch_key_col
+
+        group_key = dispatch_key_col(
+            F.col("lang"), F.col("content"), cfg.normalize_langs
+        )
     keyed = docs.select(
         "doc_id",
         "repo",
@@ -138,23 +170,30 @@ def run_pipeline(
         "n_chars",
         "content",
         exact_key_col(F.col("content")).alias("exact_key"),
-        norm_key_col(F.col("content")).alias("norm_key"),
+        group_key.alias("norm_key"),
     )
-    w_grp = Window.partitionBy("norm_key")
-    keyed = keyed.withColumn(
-        "rep_id",
-        F.min(F.struct("repo", "path", "doc_id")).over(w_grp).getField("doc_id"),
+    reps = keyed.groupBy("norm_key").agg(
+        F.min(F.struct("repo", "path", "doc_id", "n_chars", "content")).alias("m")
+    ).select(
+        "norm_key",
+        F.col("m.doc_id").alias("doc_id"),
+        F.col("m.repo").alias("repo"),
+        F.col("m.path").alias("path"),
+        F.col("m.n_chars").alias("n_chars"),
+        F.col("m.content").alias("content"),
     )
-    keyed = keyed.localCheckpoint(eager=True)
+    # member → representative mapping; content pruned out of this join
+    rep_map = keyed.select("doc_id", "norm_key").join(
+        reps.select("norm_key", F.col("doc_id").alias("rep_id")), "norm_key"
+    ).select("doc_id", "rep_id")
     _mark("keys")
 
-    if mode == "hybrid":
+    if mode in ("hybrid", "similar"):
         # --- stage 2: signatures on group representatives only.
         # Representative pattern (J6, scanner.py:549-567): one signature
         # per distinct normalized content; members inherit via rep_id.
         # Oversize reps keep exact keys only (degrade-don't-drop,
         # hasher.py:109-119).
-        reps = keyed.where(F.col("doc_id") == F.col("rep_id"))
         eligible = reps.where(F.col("n_chars") <= cfg.content_cap_chars)
         if collect_metrics:
             n_reps = reps.count()
@@ -233,8 +272,7 @@ def run_pipeline(
                 comp_labels, cfg
             )
         labels = (
-            keyed.select("doc_id", "rep_id")
-            .join(
+            rep_map.join(
                 splits.select(
                     F.col("doc_id").alias("rep_id"),
                     F.col("cluster_id").alias("sub_label"),
@@ -251,8 +289,8 @@ def run_pipeline(
         edges = near_edges
     else:
         # exact mode: clusters ARE the normalized-key groups — the
-        # rep_id column is already the cluster label (no CC, no joins)
-        labels = keyed.select("doc_id", F.col("rep_id").alias("cluster_id"))
+        # rep mapping is already the cluster label (no CC, no joins)
+        labels = rep_map.select("doc_id", F.col("rep_id").alias("cluster_id"))
         edges = None
 
     # --- stage 5.75: strict re-split (J7) — composite (cluster, raw sha)

@@ -25,6 +25,67 @@ def hybrid_assign(hybrid_result):
     return {(r.repo, r.path): r for r in rows}
 
 
+class TestParamValidation:
+    """Stage-0 parameter checks (scanner.py:849-867; reference rejects
+    bad image_match values and negative thresholds,
+    test_core.py:1937-1951)."""
+
+    def test_invalid_mode_rejected(self, spark, files_df, cfg):
+        with pytest.raises(ValueError, match="invalid mode"):
+            run_pipeline(spark, files_df, cfg, mode="fuzzy")
+
+    def test_negative_thresholds_rejected(self):
+        from photo_dedup_spark.config import DedupConfig
+
+        with pytest.raises(ValueError, match="hamming_threshold"):
+            DedupConfig(hamming_threshold=-1)
+        with pytest.raises(ValueError, match="jaccard_threshold"):
+            DedupConfig(jaccard_threshold=1.5)
+        with pytest.raises(ValueError, match="containment_threshold"):
+            DedupConfig(containment_threshold=0.0)
+
+    def test_similar_mode_runs_near_dup_path(self, spark, cfg):
+        # 'similar' detects cross-variant groups exact mode misses
+        base = "".join(
+            f"def fn_{i}(arg_{i}):\n    return arg_{i} * {i} + offset_{i}\n"
+            for i in range(60)
+        )
+        rows = [
+            ("r", "a.py", "c1", "py", base),
+            ("r", "b.py", "c2", "py", base + "# appended note\n"),
+        ]
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        res = run_pipeline(spark, df, cfg, mode="similar", collect_metrics=False)
+        assert res.assignments.select("cluster_id").distinct().count() == 1
+
+
+class TestKeyDispatch:
+    """H4 compute_hash dispatch (hasher.py:157-172): only
+    normalize_langs rows key on normalized content."""
+
+    def test_dispatch_splits_by_lang(self, spark):
+        from photo_dedup_spark.config import DedupConfig
+
+        cfg = DedupConfig(normalize_langs=("py",))
+        rows = [
+            # py: normalized-equal pair merges
+            ("r", "a.py", "c1", "py", "x = 1\n"),
+            ("r", "b.py", "c2", "py", "x = 1  \r\n"),
+            # bin: same normalized-equal pair stays apart (raw keying)
+            ("r", "a.bin", "c3", "bin", "x = 1\n"),
+            ("r", "b.bin", "c4", "bin", "x = 1  \r\n"),
+        ]
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+        res = run_pipeline(spark, df, cfg, mode="exact", collect_metrics=False)
+        got = {r.path: r.cluster_id for r in res.assignments.collect()}
+        assert got["a.py"] == got["b.py"]
+        assert got["a.bin"] != got["b.bin"]
+
+
 class TestExactMode:
     """mode='exact' reproduces --no-pixel (scanner.py:861-867)."""
 
