@@ -180,9 +180,24 @@ def date_rename_plan(
 
     *selected* needs (cluster_id, path, is_keep, <ts_col> timestamp).
     """
+    if scope not in ("kept-only", "all-files"):
+        # cleaner.py:579-586 rejects unknown scopes up front
+        raise ValueError(f"invalid scope: {scope!r} (kept-only | all-files)")
     earliest = selected.groupBy("cluster_id").agg(F.min(ts_col).alias("earliest_ts"))
-    scoped = selected if scope == "all-files" else selected.where(F.col("is_keep"))
-    t = scoped.join(earliest, "cluster_id")
+    # Phase C never touches moved-away delete-members (they live in the
+    # backup tree, excluded by the fast root checker cleaner.py:967-981)
+    # — only SURVIVING rows are candidates.  kept-only additionally
+    # restricts to keep-files of real dup groups; all-files also covers
+    # singletons (the "unrelated files" of the reference's walk).
+    survivors = selected.where(F.col("is_keep"))
+    if scope == "kept-only":
+        counts = F.count("*").over(Window.partitionBy("cluster_id"))
+        survivors = (
+            selected.withColumn("_mc", counts)
+            .where(F.col("is_keep") & (F.col("_mc") >= 2))
+            .drop("_mc")
+        )
+    t = survivors.join(earliest, "cluster_id")
 
     base = F.element_at(F.split("path", "/"), -1)
     ext = F.regexp_extract(base, r"(\.[A-Za-z0-9]+)$", 1)

@@ -33,12 +33,14 @@ def members(spark):
 
 class TestDateRename:
     def test_kept_only_scope_and_earliest_date(self, members):
+        # kept-only (the default, cleaner.py:56-57) touches ONLY
+        # keep-files of real dup groups: the singleton cluster 3 is not
+        # in scope, and moved-away deletes never are
         plan = date_rename_plan(members).collect()
         renames = {r.src: r.dst for r in plan if r.action == "date_rename"}
         # keep of cluster 1 renamed to the GROUP-earliest date (May 1,
         # from the delete member), not its own ts (May 3)
-        assert set(renames) == {"pics/12345.jpg", "pics/54321.jpg"}
-        assert sorted(renames.values()) == ["pics/20210501.jpg", "pics/20210501_1.jpg"]
+        assert renames == {"pics/12345.jpg": "pics/20210501.jpg"}
 
     def test_meaningful_names_untouched(self, members):
         plan = date_rename_plan(members).collect()
@@ -55,7 +57,21 @@ class TestDateRename:
         assert "pics/2020-01-02_trip.jpg" not in mt
 
     def test_all_files_scope(self, members):
+        # all-files widens scope to every SURVIVING file — singletons
+        # (the reference walk's "unrelated files") join in, but
+        # moved-away delete-members never do (Phase C walks the target
+        # tree excluding the backup dir, cleaner.py:967-981)
         plan = date_rename_plan(members, scope="all-files").collect()
-        srcs = {r.src for r in plan if r.action == "date_rename"}
-        # delete-members with meaningless names now included
-        assert "pics/999.jpg" in srcs
+        renames = {r.src: r.dst for r in plan if r.action == "date_rename"}
+        assert set(renames) == {"pics/12345.jpg", "pics/54321.jpg"}
+        assert "pics/999.jpg" not in renames
+        # same dir + same date stem → deterministic conflict suffix (W3)
+        assert sorted(renames.values()) == [
+            "pics/20210501.jpg",
+            "pics/20210501_1.jpg",
+        ]
+
+    def test_invalid_scope_rejected(self, members):
+        # cleaner.py:579-586 / test_core.py:1304
+        with pytest.raises(ValueError, match="invalid scope"):
+            date_rename_plan(members, scope="everything")
