@@ -1,19 +1,30 @@
 """Multimodal (image/audio/video) column plumbing over mapInPandas.
 
 The reference decodes real images (PIL) for pixel hashing and dHash
-(/root/reference/photo_dedup/hasher.py:95-224).  In this engine,
-media payloads are opaque ``binary`` columns with typed metadata; the
-Spark-side plumbing — schema, Arrow batch shape, partitioning, UDF
-signatures — is real and tested, while the codec step itself is
-STUBBED: the container has no image/audio libraries, so ``decode_*``
-raise ``NotImplementedError`` unless ``fake=True`` selects the
-deterministic fake decoder (seeded from the payload bytes), which is
-what tests and the synthetic corpus use.
+(/root/reference/photo_dedup/hasher.py:95-224).  In this engine, media
+payloads are opaque ``binary`` columns with typed metadata.
+
+Codec support is tiered, honestly:
+
+  * REAL, pure numpy/stdlib (no external libs needed):
+      - netpbm P5/P6 images (binary PGM/PPM, maxval ≤ 255) — decoded
+        to pixels, then the reference's ACTUAL dHash algorithm
+        (hasher.py:175-224: area-mean resize to 9×8 grayscale,
+        horizontal gradient sign bits) produces the 64-dim feature,
+        so resize-invariance is real and tested
+        (test_core.py:1713-1728 transplant);
+      - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
+        = per-block RMS energy profile.
+  * GATED: compressed codecs (JPEG/PNG/MP3/H.264) need libraries this
+    container doesn't ship — those payloads raise a per-row decode
+    error (carried as DATA, the count-and-drop contract), or use the
+    deterministic ``fake=True`` decoder in tests.
 
 Operators:
   * decode_image_features — decode → (width, height, channels) +
     a 64-dim float feature vector (the dHash analog for media)
-  * resize_meta — recompute metadata for a target size (pure plumbing)
+  * decode_audio_features — decode → (sample_rate, n_samples,
+    channels) + 64-dim RMS energy profile
   * frame_sample — video: pick every k-th frame index (pure plumbing)
 
 All are ``mapInPandas`` iterators over Arrow batches — the pattern that
@@ -24,6 +35,7 @@ constraint that matters when payloads are MBs each at 100 TB scale.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,6 +44,120 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 FEATURE_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy/stdlib)
+# ---------------------------------------------------------------------------
+
+def _netpbm_tokens(data: bytes, n: int) -> tuple[list[int], int]:
+    """First *n* whitespace-separated integer tokens after the magic,
+    skipping ``#`` comments; returns (tokens, offset past the single
+    whitespace that terminates the header)."""
+    toks: list[int] = []
+    i = 2  # past magic
+    while len(toks) < n:
+        if i >= len(data):
+            raise ValueError("truncated netpbm header")
+        c = data[i : i + 1]
+        if c == b"#":
+            i = data.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            toks.append(int(data[i:j]))
+            i = j
+    return toks, i + 1  # exactly one whitespace after maxval
+
+
+def decode_netpbm(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """P5 (gray) / P6 (RGB) binary netpbm → (w, h, channels,
+    HxWxC uint8 pixels).  Raises ValueError on malformed input."""
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"unsupported codec (magic {magic!r})")
+    channels = 1 if magic == b"P5" else 3
+    (w, h, maxval), off = _netpbm_tokens(data, 3)
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported netpbm (maxval {maxval}, {w}x{h})")
+    need = w * h * channels
+    raster = np.frombuffer(data, dtype=np.uint8, count=need, offset=off)
+    if raster.size < need:
+        raise ValueError("truncated netpbm raster")
+    return w, h, channels, raster.reshape(h, w, channels)
+
+
+def _area_resize(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Exact area-mean resize via an integral image — the LANCZOS-free
+    stand-in for hasher.py:206 that keeps resize-invariance (block
+    means are scale-stable)."""
+    ii = np.zeros((gray.shape[0] + 1, gray.shape[1] + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    ys = np.linspace(0, gray.shape[0], oh + 1).round().astype(int)
+    xs = np.linspace(0, gray.shape[1], ow + 1).round().astype(int)
+    out = (
+        ii[ys[1:, None], xs[None, 1:]]
+        - ii[ys[:-1, None], xs[None, 1:]]
+        - ii[ys[1:, None], xs[None, :-1]]
+        + ii[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    return out / np.maximum(areas, 1)
+
+
+def dhash64(pixels: np.ndarray) -> np.ndarray:
+    """The reference dHash (hasher.py:175-224) at 64 bits: grayscale →
+    area resize to 8×9 → horizontal gradient sign → 64 floats (0/1)."""
+    gray = pixels.mean(axis=2) if pixels.ndim == 3 else pixels
+    small = _area_resize(gray.astype(np.float64), 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.float32)
+    return bits.reshape(-1)
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PCM RIFF/WAVE (8- or 16-bit) → (sample_rate, n_samples,
+    channels, mono float64 samples in [-1, 1])."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("unsupported codec (not RIFF/WAVE)")
+    i, fmt, raw = 12, None, None
+    while i + 8 <= len(data):
+        cid, size = data[i : i + 4], struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        i += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV (format {audio_format}, {bits}-bit)")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    if channels > 1:
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return rate, len(samples), channels, samples
+
+
+def audio_energy_features(samples: np.ndarray, n: int = FEATURE_DIM) -> np.ndarray:
+    """Per-block RMS energy profile, peak-normalized — tempo-coarse,
+    amplitude-invariant audio fingerprint."""
+    if samples.size == 0:
+        return np.zeros(n, dtype=np.float32)
+    edges = np.linspace(0, samples.size, n + 1).astype(int)
+    sq = np.concatenate([[0.0], np.cumsum(samples * samples)])
+    sums = sq[edges[1:]] - sq[edges[:-1]]
+    widths = np.maximum(edges[1:] - edges[:-1], 1)
+    rms = np.sqrt(sums / widths)
+    peak = rms.max()
+    return (rms / peak if peak > 0 else rms).astype(np.float32)
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -87,16 +213,25 @@ def decode_image_features(
                 try:
                     if payload is None:
                         raise ValueError("null payload")
-                    if not fake:
+                    data = bytes(payload)
+                    if data[:2] in (b"P5", b"P6"):
+                        # REAL decode + the reference's actual dHash
+                        w, h, c, px = decode_netpbm(data)
+                        feats = dhash64(px)
+                    elif fake:
+                        w, h, c, feats = _fake_decode(data)
+                    else:
                         raise NotImplementedError(
-                            "real image codecs unavailable in this container; "
-                            "pass fake=True for the deterministic stub"
+                            f"codec for magic {data[:2]!r} needs external "
+                            "libraries this container does not ship; netpbm "
+                            "P5/P6 decodes natively, or pass fake=True"
                         )
-                    w, h, c, feats = _fake_decode(bytes(payload))
                     out["width"].append(w)
                     out["height"].append(h)
                     out["channels"].append(c)
-                    out["features"].append(feats.tolist())
+                    out["features"].append(
+                        np.asarray(feats, dtype=np.float32).tolist()
+                    )
                     out["decode_error"].append(None)
                 except (NotImplementedError, ValueError, TypeError) as e:
                     out["width"].append(None)
@@ -108,6 +243,56 @@ def decode_image_features(
 
     cols = media.select(id_col, payload_col)
     return cols.mapInPandas(_map, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media (id, payload binary) -> AUDIO_FEATURES_SCHEMA rows.
+    PCM WAV decodes natively (pure numpy/struct); compressed codecs
+    yield per-row decode errors."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    rate, n, ch, samples = decode_wav(bytes(payload))
+                    feats = audio_energy_features(samples).tolist()
+                    rows.append((mid, rate, n, ch, feats, None))
+                except (NotImplementedError, ValueError, TypeError) as e:
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "channels",
+                    "features",
+                    "decode_error",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _map, AUDIO_FEATURES_SCHEMA
+    )
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

@@ -357,13 +357,80 @@ class TestMultimodal:
         assert out1[2].features is None
         assert "null payload" in out1[2].decode_error
 
-    def test_real_codec_stubbed(self, spark):
+    def test_compressed_codec_gated(self, spark):
         from photo_dedup_spark.functions.multimodal import decode_image_features
 
-        media = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+        # JPEG magic: no external codec available → per-row error, not a crash
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xe0rest"))], "media_id long, payload binary"
+        )
         rows = decode_image_features(media, fake=False).collect()
         assert rows[0].features is None
-        assert "codecs unavailable" in rows[0].decode_error
+        assert "external" in rows[0].decode_error
+
+    @staticmethod
+    def _ppm(f, w, h):
+        import numpy as np
+
+        ys, xs = np.mgrid[0:h, 0:w]
+        gray = f(ys / h, xs / w)
+        px = np.clip(gray, 0, 255).astype("uint8")
+        rgb = np.repeat(px[:, :, None], 3, axis=2)
+        return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    def test_netpbm_dhash_resize_invariant(self, spark):
+        # transplant of reference test_core.py:1713-1742: same content
+        # at two resolutions → identical dHash; different content →
+        # far-apart dHash.  REAL decode, no fake path.
+        import numpy as np
+
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+
+        f1 = lambda v, u: 127 + 100 * np.sin(3 * u) * np.cos(2 * v)  # noqa: E731
+        f2 = lambda v, u: 127 + 100 * np.cos(5 * u + 1) * np.sin(4 * v)  # noqa: E731
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(self._ppm(f1, 160, 120))),
+                (2, bytearray(self._ppm(f1, 320, 240))),  # same content, 2× size
+                (3, bytearray(self._ppm(f2, 160, 120))),  # different content
+            ],
+            "media_id long, payload binary",
+        )
+        rows = {r.media_id: r for r in decode_image_features(media).collect()}
+        assert rows[1].width == 160 and rows[2].width == 320
+        bits = {k: np.asarray(r.features) for k, r in rows.items()}
+        same = int(np.sum(bits[1] != bits[2]))
+        diff = int(np.sum(bits[1] != bits[3]))
+        assert same <= 2, f"resize changed {same}/64 dhash bits"
+        assert diff >= 16, f"different content only {diff}/64 bits apart"
+
+    def test_wav_decode_and_energy_profile(self, spark):
+        import numpy as np
+
+        from photo_dedup_spark.functions.multimodal import decode_audio_features
+
+        def wav_bytes(freq, n=8000, rate=8000):
+            import struct
+
+            t = np.arange(n) / rate
+            samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+            data = samples.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        media = spark.createDataFrame(
+            [(1, bytearray(wav_bytes(440))), (2, bytearray(b"\xffnotwav"))],
+            "media_id long, payload binary",
+        )
+        rows = {r.media_id: r for r in decode_audio_features(media).collect()}
+        assert rows[1].sample_rate == 8000 and rows[1].n_samples == 8000
+        assert len(rows[1].features) == 64
+        assert max(rows[1].features) == pytest.approx(1.0)
+        assert rows[2].decode_error is not None
 
     def test_frame_sample_schedule(self, spark):
         from photo_dedup_spark.functions.multimodal import frame_sample
