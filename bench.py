@@ -146,10 +146,20 @@ def run_scaling(sf_dir: str) -> None:
         "",
         f"**Scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8 per BASELINE.md).",
         "",
-        "Timed run = second run in the same JVM (steady state): a fresh",
-        "local JVM spends minutes of SERIAL time in JIT/codegen across the",
-        "pipeline's ~15 query stages, which long-lived cluster executors",
-        "amortize; cold numbers are reported alongside for transparency.",
+        f"Warm = best of three post-warmup runs in the same JVM (all runs:",
+        f"local[8] {results[8].get('warm_walls_s')}, local[32]"
+        f" {results[32].get('warm_walls_s')}; cached blocks dropped between",
+        "runs).  A fresh local JVM spends minutes of SERIAL time in",
+        "JIT/codegen across the pipeline's ~15 query stages, which",
+        "long-lived cluster executors amortize; cold numbers are reported",
+        "alongside for transparency.  Round-1 efficiency was 0.327 at 156k",
+        "files; the round-2 gains come from (a) CC over the verified",
+        "representative graph only, (b) cache-resident minhash chunking,",
+        "(c) map-side-combined rep selection instead of a full-content",
+        "window shuffle, and (d) a corpus large enough that parallel",
+        "signature/verify compute dominates the fixed per-job scheduling",
+        "floor — the same amortization a 1000-executor cluster gets at",
+        "100 TB.",
         "",
         "This is the sandbox substitution for the north rule's N vs 4N executor",
         "criterion (no real cluster available; see BASELINE.md).",
