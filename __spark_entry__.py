@@ -851,6 +851,47 @@ def q_action_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_plan(plan)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns (training-data mandate): REAL netpbm decode +
+    the reference's dHash over binary payloads synthesized
+    deterministically from doc_id.  Rows-only: binary codec work is not
+    SQL-expressible; features are surfaced as a sha256 digest so every
+    column stays driver-hashable."""
+    import numpy as np
+    import pandas as pd
+
+    from photo_dedup_spark.functions.multimodal import decode_image_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 40 + did % 32, 30 + did % 24
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = ((xs * 7 + ys * 13 + did) % 251).astype(np.uint8)
+                rgb = np.repeat(px[:, :, None], 3, axis=2)
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes())
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(_gen, "media_id long, payload binary")
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.sha2(
+            F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))),
+            256,
+        ).alias("dhash_digest"),
+        "decode_error",
+    )
+
+
 def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_dedup_spark.operators.similarity import cosine_topk_srp
 
@@ -894,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "action_plan": q_action_plan,
         "ann_srp_topk": q_ann_srp_topk,
+        "media_features": q_media_features,
     }
 
 

@@ -48,21 +48,24 @@ _VERDICT = StructType(
 )
 
 
-def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG, failure_counter=None):
     """pandas UDF (sketch_a, b_a, sketch_b, b_b) -> struct(jaccard,
     containment) via exact set arithmetic on the common sampled
-    universe."""
+    universe.
+
+    *failure_counter*: optional Spark accumulator — per-pair verifier
+    failures are COUNTED, not just swallowed (the reference counts
+    per-item errors while dropping them, scanner.py:471-479 / A5)."""
 
     def _verify(
         sk_a: pd.Series, b_a: pd.Series, sk_b: pd.Series, b_b: pd.Series
     ) -> pd.DataFrame:
         jac, con = [], []
+        failures = 0
         for a, ba, b, bb in zip(sk_a, b_a, sk_b, b_b):
             try:
                 if a is None or b is None:
-                    jac.append(0.0)
-                    con.append(0.0)
-                    continue
+                    raise ValueError("missing sketch")
                 j, c = sketch_overlap_py(
                     sketch_from_bytes(a),
                     int(ba),
@@ -74,8 +77,11 @@ def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG):
             except Exception:
                 # safe default: never merge on verifier failure
                 # (mirrors hasher.py:283-293 returning inf)
+                failures += 1
                 jac.append(0.0)
                 con.append(0.0)
+        if failures and failure_counter is not None:
+            failure_counter.add(failures)
         return pd.DataFrame({"jaccard": jac, "containment": con})
 
     return F.pandas_udf(_verify, _VERDICT)
@@ -98,6 +104,7 @@ def verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    failure_counter=None,
 ) -> DataFrame:
     """Join candidate pairs to per-doc (sketch, sketch_b, simhash) and
     emit verified edges: (src, dst, jaccard, containment, hamming,
@@ -114,7 +121,7 @@ def verify_pairs(
         F.col("sketch_b").alias("b_b"),
         F.col("simhash").alias("sim_b"),
     )
-    verify_udf = make_verify_udf(cfg)
+    verify_udf = make_verify_udf(cfg, failure_counter)
     joined = pairs.join(a, "src").join(b, "dst")
     scored = joined.withColumn(
         "verdict",

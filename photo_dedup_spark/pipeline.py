@@ -242,13 +242,16 @@ def run_pipeline(
             }
             metrics["candidate_pairs"] = pairs.count()
 
-        # --- stage 4: verify
-        verified = verify_pairs(pairs, signed, cfg)
+        # --- stage 4: verify (failures counted via accumulator — the
+        # reference's count-and-drop progress telemetry, A5)
+        fail_acc = spark.sparkContext.accumulator(0) if collect_metrics else None
+        verified = verify_pairs(pairs, signed, cfg, failure_counter=fail_acc)
         near_edges = verified.where(F.col("is_edge")).select("src", "dst")
         near_edges = near_edges.localCheckpoint(eager=True)
         _mark("candidates+verify")
         if collect_metrics:
             metrics["verified_edges"] = near_edges.count()
+            metrics["verify_failures"] = fail_acc.value
 
         # --- stage 5: connected components over the REP graph only —
         # nodes are just the edge endpoints (reps with no verified edge

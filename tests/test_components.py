@@ -4,6 +4,25 @@
 import pytest
 
 from photo_dedup_spark.operators.components import connected_components, exact_star_edges
+from photo_dedup_spark.operators.verify import verify_pairs
+
+
+class TestVerifyFailureTelemetry:
+    def test_corrupt_sketch_counted_not_merged(self, spark, cfg):
+        # A5 (scanner.py:471-479): verifier failures are COUNTED while
+        # the pair safely defaults to non-match (hasher.py:283-293)
+        acc = spark.sparkContext.accumulator(0)
+        docs = spark.createDataFrame(
+            [
+                (1, bytearray(b"123"), 0, [0, 0, 0, 0]),  # 3 bytes: not int64-aligned
+                (2, bytearray(b"12345678"), 0, [0, 0, 0, 0]),
+            ],
+            "doc_id long, sketch binary, sketch_b int, simhash array<bigint>",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+        out = verify_pairs(pairs, docs, cfg, failure_counter=acc).collect()
+        assert len(out) == 1 and out[0].is_edge is False
+        assert acc.value == 1
 
 
 def _labels(spark, cfg, nodes, edges):

@@ -194,6 +194,9 @@ class TestHybridMode:
         routes = hybrid_result.metrics["lsh_bucket_routes"]
         assert routes.get("salted", 0) > 0, f"salting not exercised: {routes}"
 
+    def test_verify_failures_counted_zero_on_clean_corpus(self, hybrid_result):
+        assert hybrid_result.metrics["verify_failures"] == 0
+
     def test_determinism_two_runs(self, spark, files_df, cfg, hybrid_assign):
         res2 = run_pipeline(spark, files_df, cfg, mode="hybrid")
         rows2 = {
