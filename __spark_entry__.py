@@ -569,6 +569,96 @@ FROM inter i JOIN sizes sa ON i.src = sa.doc_id JOIN sizes sb ON i.dst = sb.doc_
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule containment detection (truncated/vendored copies —
+    J8): cross-document pairs whose smaller 3-gram set is ≥ 90%
+    contained in the larger, via the same inverted-index join as the
+    Jaccard query (global df cap bounds fan-out; integer-only output).
+    The pipeline's sketch-containment verifier is the sampled version
+    of exactly this computation."""
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > _NGRAM_DF_CAP)
+        .select("gram")
+    )
+    kept = grams.join(hot, "gram", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.gram") == F.col("b.gram"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    small = F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sa, "src")
+        .join(sb, "dst")
+        .where(F.col("inter_cnt") * 10 >= small * 9)
+        .select(
+            "src",
+            "dst",
+            F.col("inter_cnt").cast("long").alias("inter_cnt"),
+            small.cast("long").alias("small_sz"),
+        )
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), ex AS (
+  SELECT doc_id,
+         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS gram
+  FROM toks WHERE len(t) >= 3
+), kept AS (
+  SELECT * FROM ex QUALIFY COUNT(*) OVER (PARTITION BY gram) <= {_NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS inter_cnt
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst,
+       CAST(i.inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(least(sa.sz, sb.sz) AS BIGINT) AS small_sz
+FROM inter i JOIN sizes sa ON i.src = sa.doc_id JOIN sizes sb ON i.dst = sb.doc_id
+WHERE i.inter_cnt * 10 >= least(sa.sz, sb.sz) * 9
+"""
+
+
 # H4 dispatch fixture: these langs key on normalized content, the rest raw
 _DISPATCH_LANGS = ("en", "de")
 
@@ -920,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
         "strict_resplit": q_strict_resplit,
         "dispatched_keys": q_dispatched_keys,
         "parsed_dates": q_parsed_dates,
@@ -957,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "strict_resplit": SQL_STRICT_RESPLIT,
         "dispatched_keys": _sql_dispatched_keys(),
         "parsed_dates": _sql_parsed_dates(),
