@@ -69,6 +69,22 @@ def _selected_from_groups(groups: DataFrame) -> DataFrame:
     return keeps.unionByName(deletes)
 
 
+def _net_renames(plan: DataFrame) -> DataFrame:
+    """Net (rsrc → rdst) effect of Phase B: plain renames directly,
+    chained renames by composing their stage (src → tmp) and final
+    (tmp → dst) hops."""
+    renames = plan.where(F.col("action") == "rename").select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("rdst")
+    )
+    stage = plan.where(F.col("action") == "rename_stage").select(
+        F.col("src").alias("rsrc"), F.col("dst").alias("tmp")
+    )
+    final = plan.where(F.col("action") == "rename_final").select(
+        F.col("src").alias("tmp"), F.col("dst").alias("rdst")
+    )
+    return renames.unionByName(stage.join(final, "tmp").select("rsrc", "rdst"))
+
+
 def clean(
     spark: SparkSession,
     report_dir: str,
@@ -93,13 +109,36 @@ def clean(
     selected = _selected_from_groups(groups)
     dups = dup_groups_only(selected)
     plan = move_plan(dups).unionByName(rename_plan(dups))
+    null_ts_excluded = None
     if date_scope is not None:
         if timestamps is None:
             raise ValueError(
                 f"date_scope={date_scope!r} needs a (path, {ts_col}) timestamps frame"
             )
-        with_ts = selected.join(timestamps.select("path", ts_col), "path")
-        plan = plan.unionByName(date_rename_plan(with_ts, ts_col, date_scope))
+        # LEFT join: a file missing from the timestamps frame must not
+        # vanish silently (the reference falls back per-file to
+        # filesystem dates with a logged warning, metadata.py:96-121;
+        # we have no filesystem, so null-ts rows are EXCLUDED from
+        # Phase C — and from the cluster-earliest min — with a counted
+        # summary entry, never an invisible inner-join drop)
+        with_ts = selected.join(timestamps.select("path", ts_col), "path", "left")
+        tsc = with_ts.agg(
+            F.count("*").alias("n"), F.count(ts_col).alias("nts")
+        ).collect()[0]
+        null_ts_excluded = int(tsc["n"] - tsc["nts"])
+        with_ts = with_ts.where(F.col(ts_col).isNotNull())
+        # Phase C sees the POST-Phase-B tree (cleaner.py:893-905 re-keys
+        # earliest_dates after each rename; 1048-1063 touches post-rename
+        # paths): substitute net rename dsts for paths BEFORE evaluating
+        # is_meaningless or emitting srcs — a keep renamed in Phase B to
+        # a meaningful name gets no date_rename at all
+        net = _net_renames(plan)
+        post = (
+            with_ts.join(net, with_ts.path == net.rsrc, "left")
+            .withColumn("path", F.coalesce(F.col("rdst"), F.col("path")))
+            .drop("rsrc", "rdst")
+        )
+        plan = plan.unionByName(date_rename_plan(post, ts_col, date_scope))
     plan = sequence_plan(plan)
 
     counts = {
@@ -107,6 +146,8 @@ def clean(
         for r in plan.groupBy("action").agg(F.count("*").alias("n")).collect()
     }
     summary = {"actions": counts, "dry_run": dry_run}
+    if null_ts_excluded is not None:
+        summary["null_ts_excluded"] = null_ts_excluded
 
     if dry_run:
         # zero side effects: no log dir, no meta, no events

@@ -141,7 +141,24 @@ def rename_plan(selected: DataFrame) -> DataFrame:
     srcs = ok.select(F.col("src").alias("dst"))
     chained = ok.join(srcs, "dst", "left_semi")
     plain = ok.join(srcs, "dst", "left_anti")
-    tmp = F.concat(F.lit(".__dedup_tmp_"), F.sha2(F.col("src"), 256).substr(1, 16))
+    # temp hop stays in the SOURCE directory and keeps the basename,
+    # mirroring _make_temp_rename_path (cleaner.py:495-509:
+    # dirname + '.__photo_dedup_tmp_<uuid>_<basename>') — a root-level
+    # temp would hop files across directories mid-plan
+    src_base = F.element_at(F.split("src", "/"), -1)
+    src_dir = F.when(
+        F.instr(F.col("src"), "/") > 0,
+        F.expr(
+            "substring(src, 1, length(src) - length(element_at(split(src, '/'), -1)))"
+        ),
+    ).otherwise(F.lit(""))
+    tmp = F.concat(
+        src_dir,
+        F.lit(".__dedup_tmp_"),
+        F.sha2(F.col("src"), 256).substr(1, 16),
+        F.lit("_"),
+        src_base,
+    )
     stage_rows = chained.select(
         F.lit("rename_stage").alias("action"),
         "cluster_id",
@@ -243,6 +260,18 @@ def date_rename_plan(
             F.col("path").alias("src"),
             F.date_format("earliest_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("dst"),
         )
+    )
+    # a file date-renamed in phase 4 no longer exists at its old path
+    # when the phase-5 mtime row replays (cleaner.py:1048-1063 touches
+    # the POST-rename path) — substitute the date_rename dst
+    dr_map = renames.select(
+        F.col("src").alias("_old"), F.col("dst").alias("_new")
+    )
+    mtimes = (
+        mtimes.join(dr_map, mtimes.src == dr_map._old, "left")
+        .withColumn("src", F.coalesce(F.col("_new"), F.col("src")))
+        .drop("_old", "_new")
+        .select("action", "cluster_id", "src", "dst")
     )
     return renames.unionByName(mtimes)
 

@@ -94,7 +94,9 @@ def cosine_topk_srp(
     vec_col: str = "embedding",
     dim: int = 64,
     target_bucket: int | None = None,
-) -> DataFrame:
+    pair_cfg=None,
+    with_stats: bool = False,
+):
     """ANN top-k: score only within SRP buckets, union over ``n_tables``
     independent hash tables (each table a different seed), dedup, rank.
 
@@ -109,6 +111,14 @@ def cosine_topk_srp(
       :func:`photo_dedup_spark.operators.lsh.candidate_pairs` — plain
       self-join for small buckets, salt-cell pair tiling for hot ones,
       logged overflow drop beyond the cap.
+
+    ``pair_cfg`` overrides the DedupConfig driving the salted pair
+    join (salt_threshold / num_salts / bucket_overflow_cap) — callers
+    with hot embedding clusters raise the overflow cap instead of
+    silently losing recall.  ``with_stats=True`` returns
+    ``(topk_df, bucket_stats_df)`` so overflow-routed buckets (whose
+    candidates were dropped from top-k) are observable — the
+    degrade-don't-drop contract needs the drop to be visible.
     """
     from photo_dedup_spark.config import DedupConfig
     from photo_dedup_spark.operators import lsh
@@ -130,8 +140,9 @@ def cosine_topk_srp(
         )
         banded = part if banded is None else banded.unionByName(part)
     # salted, overflow-capped bucket pair generation (src < dst)
-    pair_cfg = DedupConfig(salt_threshold=2048, num_salts=16)
-    pairs, _stats = lsh.candidate_pairs(banded, pair_cfg)
+    if pair_cfg is None:
+        pair_cfg = DedupConfig(salt_threshold=2048, num_salts=16)
+    pairs, bucket_stats = lsh.candidate_pairs(banded, pair_cfg)
     directed = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -153,8 +164,11 @@ def cosine_topk_srp(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )
+    if with_stats:
+        return topk, bucket_stats
+    return topk

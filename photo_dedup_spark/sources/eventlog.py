@@ -94,13 +94,24 @@ def _read_meta(log_dir: str) -> dict:
 
 
 def guard_not_in_progress(log_dir: str) -> None:
-    """C5: refuse to operate over an incomplete log (cleaner.py:694-705)."""
+    """C5: refuse to operate over an incomplete log (cleaner.py:694-705).
+
+    The reference refuses ANY existing log whose status is not in
+    ('complete', 'undone') — a run that crashed between
+    moves_complete and complete still owns a recovery record that a
+    new clean() must not overwrite.  A corrupt/unreadable meta is
+    allowed through (cleaner.py:705 JSONDecodeError → overwrite)."""
     if not os.path.exists(os.path.join(log_dir, "_meta.json")):
         return
-    meta = _read_meta(log_dir)
-    if meta["status"] == "in_progress":
+    try:
+        meta = _read_meta(log_dir)
+        status = meta["status"]
+    except (EventLogError, KeyError):
+        return  # corrupt log: overwrite allowed, mirroring the reference
+    if status not in ("complete", "undone"):
         raise EventLogError(
-            "previous run left an in_progress event log; undo or remove it first"
+            f"previous run left an event log with status {status!r} "
+            "(not complete/undone); undo or remove it first"
         )
 
 

@@ -50,9 +50,13 @@ class TestDateRename:
     def test_mtime_drift_rows(self, members):
         plan = date_rename_plan(members).collect()
         mt = {r.src: r.dst for r in plan if r.action == "set_mtime"}
-        # cluster 1 keep drifts 2 days from group earliest → set_mtime
-        assert "pics/12345.jpg" in mt
-        assert mt["pics/12345.jpg"].startswith("2021-05-01")
+        # cluster 1 keep drifts 2 days from group earliest → set_mtime,
+        # addressed at its POST-date-rename path (cleaner.py:1048-1063
+        # touches the new name; the old path no longer exists when the
+        # phase-5 row replays)
+        assert "pics/20210501.jpg" in mt
+        assert "pics/12345.jpg" not in mt
+        assert mt["pics/20210501.jpg"].startswith("2021-05-01")
         # cluster 2 keep matches earliest exactly → no row
         assert "pics/2020-01-02_trip.jpg" not in mt
 
