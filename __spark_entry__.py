@@ -79,10 +79,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # -- dedup core on documents ------------------------------------------------
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/A1: group by raw sha256, groups with >1 member (H1)."""
-    return (
+    """J1/A1: group by raw sha256, groups with >1 member (H1).
+
+    The driver testdata has NO raw-exact duplicates at any sf, so the
+    plain query is green-but-vacuous (0 vs 0 rows).  Both engines
+    therefore run over ``documents UNION ALL`` a re-keyed projection of
+    every 7th row — planting provably identical exact-dup groups so the
+    hash gate checks real group rows (count/min/sum per sha key)."""
+    d = (
         _docs(spark, sf_dir)
         .where(F.col("text").isNotNull())
+        .select("doc_id", "text", "n_chars")
+    )
+    extra = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000000).alias("doc_id"), "text", "n_chars"
+    )
+    return (
+        d.unionByName(extra)
         .groupBy(exact_key_col(F.col("text")).alias("exact_key"))
         .agg(
             F.count("*").alias("member_count"),
@@ -94,11 +107,17 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EXACT_DUP_GROUPS = f"""
+WITH u AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 100000000, text, n_chars FROM documents
+  WHERE text IS NOT NULL AND doc_id % 7 = 0
+)
 SELECT {exact_key_sql('text')} AS exact_key,
        COUNT(*) AS member_count,
        MIN(doc_id) AS min_doc_id,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents WHERE text IS NOT NULL
+FROM u
 GROUP BY 1 HAVING COUNT(*) > 1
 """
 
@@ -902,14 +921,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_dedup_spark.functions.normalize import normalize_col
-    from photo_dedup_spark.functions.signatures import make_signature_udfs
+    from photo_dedup_spark.functions.signatures import make_signature_struct_udf
     from photo_dedup_spark.operators import lsh
 
-    minhash_udf, _, bands_udf = make_signature_udfs(ENTRY_CONFIG)
+    # single-pass struct UDF (the pipeline's path): one shingling and
+    # ONE Arrow content transfer, vs the deprecated 3-UDF shim's three
+    sign_udf = make_signature_struct_udf(ENTRY_CONFIG)
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     signed = d.select(
-        "doc_id", minhash_udf(normalize_col(F.col("text"))).alias("minhash")
-    ).withColumn("band_hashes", bands_udf(F.col("minhash")))
+        "doc_id", sign_udf(normalize_col(F.col("text"))).alias("sig")
+    ).select("doc_id", F.col("sig.band_hashes").alias("band_hashes"))
     pairs, _stats = lsh.candidate_pairs(lsh.explode_bands(signed, ENTRY_CONFIG), ENTRY_CONFIG)
     return pairs
 
