@@ -139,27 +139,35 @@ def run_scaling(sf_dir: str) -> None:
         "Fresh JVM per run; corpus generation excluded from timing; shuffle",
         "partitions scale with cores; all other config identical.",
         "",
-        "| parallelism | warm wall (s) | cold wall (s) | throughput (files/s, warm) |",
+        "| parallelism | median wall (s) | cold wall (s) | throughput (files/s, median) |",
         "|---|---|---|---|",
         f"| local[8]  | {w8:.2f} | {results[8].get('cold_wall_s', float('nan')):.2f} | {docs / w8:.1f} |",
         f"| local[32] | {w32:.2f} | {results[32].get('cold_wall_s', float('nan')):.2f} | {docs / w32:.1f} |",
         "",
         f"**Scaling efficiency (T8/T32)/4 = {eff:.3f}** (target ≥ 0.8 per BASELINE.md).",
         "",
-        f"Warm = best of three post-warmup runs in the same JVM (all runs:",
-        f"local[8] {results[8].get('warm_walls_s')}, local[32]"
-        f" {results[32].get('warm_walls_s')}; cached blocks dropped between",
-        "runs).  A fresh local JVM spends minutes of SERIAL time in",
-        "JIT/codegen across the pipeline's ~15 query stages, which",
-        "long-lived cluster executors amortize; cold numbers are reported",
-        "alongside for transparency.  Round-1 efficiency was 0.327 at 156k",
-        "files; the round-2 gains come from (a) CC over the verified",
-        "representative graph only, (b) cache-resident minhash chunking,",
-        "(c) map-side-combined rep selection instead of a full-content",
-        "window shuffle, and (d) a corpus large enough that parallel",
-        "signature/verify compute dominates the fixed per-job scheduling",
-        "floor — the same amortization a 1000-executor cluster gets at",
-        "100 TB.",
+        "Plateau-median protocol (per leg, same JVM, cached blocks dropped",
+        "between runs): one cold run, then warm-up runs until two consecutive",
+        "runs agree within 5% (the plateau), then the reported wall is the",
+        "MEDIAN of 5 post-plateau runs — robust to a favorable draw, unlike",
+        "the round-2 best-of-three.  Full run series:",
+        "",
+        f"- local[8]: cold {results[8].get('cold_wall_s')}, plateau"
+        f" {results[8].get('plateau_walls_s')}, measured"
+        f" {results[8].get('measured_walls_s')} → median {w8:.2f}",
+        f"- local[32]: cold {results[32].get('cold_wall_s')}, plateau"
+        f" {results[32].get('plateau_walls_s')}, measured"
+        f" {results[32].get('measured_walls_s')} → median {w32:.2f}",
+        "",
+        "A fresh local JVM spends minutes of SERIAL time in JIT/codegen",
+        "across the pipeline's ~15 query stages, which long-lived cluster",
+        "executors amortize; cold numbers are reported alongside for",
+        "transparency.  Round-2 efficiency was 0.804 best-of-three (median",
+        "~0.61); round-3 additionally (a) batch-verifies pairs with one",
+        "lexsort per Arrow batch instead of per-pair intersect1d, (b) checks",
+        "CC convergence every 2 rounds (half the blocking actions in the",
+        "iterative loop), and (c) pre-buckets megacomponents so no single",
+        "Python task is quadratic in an unbounded group.",
         "",
         "This is the sandbox substitution for the north rule's N vs 4N executor",
         "criterion (no real cluster available; see BASELINE.md).",
@@ -206,25 +214,40 @@ def run_single_pipeline(sf_dir: str, cpus: int) -> None:
             rdd.unpersist()
         spark.catalog.clearCache()
 
-    # warm-up run first: a fresh local JVM spends minutes in C2/codegen
-    # compilation spread over ~15 query stages, which is SERIAL time a
-    # long-lived cluster executor amortizes away.  The scaling criterion
-    # compares steady-state throughput, so the timed number is the BEST
-    # of three post-warmup runs in the same JVM (standard JMH-style
-    # practice; cold + all warm numbers are reported for transparency).
+    # Plateau-median protocol (VERDICT r2: best-of-three was a
+    # favorable draw — local[32] was still descending at cutoff).
+    # A fresh local JVM spends minutes in C2/codegen compilation spread
+    # over ~15 query stages, which is SERIAL time a long-lived cluster
+    # executor amortizes away, so: (1) one cold run, (2) warm-up runs
+    # until two consecutive runs agree within 5% (the plateau), (3) the
+    # reported number is the MEDIAN of 5 post-plateau runs.  Every run
+    # is published for transparency.
     cold_wall, _, _ = one_run()
+    plateau_walls = []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_MAX_WARMUP", "6"))):
+        _drop_cached_blocks()
+        w, _, _ = one_run()
+        plateau_walls.append(w)
+        if (
+            len(plateau_walls) >= 2
+            and abs(plateau_walls[-1] - plateau_walls[-2])
+            <= 0.05 * min(plateau_walls[-1], plateau_walls[-2])
+        ):
+            break
     walls = []
     n = docs = 0
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_MEASURED_RUNS", "5"))):
         _drop_cached_blocks()
         w, n, docs = one_run()
         walls.append(w)
     spark.stop()
+    median = sorted(walls)[len(walls) // 2]
     print(
         json.dumps(
             {
-                "wall_s": min(walls),
-                "warm_walls_s": walls,
+                "wall_s": median,
+                "measured_walls_s": walls,
+                "plateau_walls_s": plateau_walls,
                 "cold_wall_s": cold_wall,
                 "rows": n,
                 "docs": docs,

@@ -40,15 +40,29 @@ class DedupConfig:
     num_salts: int = 16             # salt cells per hot bucket
     bucket_overflow_cap: int = 200_000  # beyond this: exact-only + logged drop
     # --- rep-verify split (scanner.py:382-395 representative pattern) ---
-    # components larger than this stay unsplit (single cluster) with a
-    # logged metric — a boilerplate megacomponent must not funnel into
-    # one Python task (degrade-don't-drop, same contract as the caps)
-    split_max_component: int = 100_000
+    # components larger than this are hierarchically pre-bucketed by
+    # SimHash prefix before the greedy (logged metric) — a boilerplate
+    # megacomponent must not funnel into one Python task.  The greedy's
+    # worst case is quadratic in its group size, so the hard per-task
+    # bound is this cap (a just-under-cap all-dissimilar group is
+    # ~cap²/2 sketch overlaps ≈ minutes, not hours).
+    split_max_component: int = 10_000
+    # expected members per SimHash-prefix bucket inside an oversized
+    # component: prefix bits = clamp(ceil(log2(n/target)), 1, 16).
+    # Fewer bits keep true near-dups together (expected differing
+    # prefix bits ≈ hamming_threshold·bits/simhash_bits); the cap above
+    # still bounds any skewed bucket.
+    split_bucket_target: int = 2_048
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_max_records: int = 2_000  # keep content batches ≲ 256 MiB
     cc_max_iters: int = 50
-    cc_checkpoint_every: int = 1
+    # convergence checks are the CC loop's only blocking actions: each
+    # one materializes the (lazy) propagation rounds since the last
+    # check plus a changed-count scan.  Checking every 2 rounds halves
+    # the job/barrier count (the loop's serial fraction) at the cost of
+    # at most one redundant round after the fixpoint.
+    cc_check_every: int = 2
 
     # H4 dispatch: langs keyed on NORMALIZED content (pixel-hash analog);
     # None = normalize everything (the v1 default — every payload is text)

@@ -13,10 +13,14 @@ Codec support is tiered, honestly:
         horizontal gradient sign bits) produces the 64-dim feature,
         so resize-invariance is real and tested
         (test_core.py:1713-1728 transplant);
+      - PNG images (stdlib zlib inflate + critical chunks; 8-bit
+        gray/RGB/palette/alpha, all five scanline filters) — the
+        compressed format the reference actually reads via PIL,
+        decoded natively and fed to the same dHash;
       - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
         = per-block RMS energy profile.
-  * GATED: compressed codecs (JPEG/PNG/MP3/H.264) need libraries this
-    container doesn't ship — those payloads raise a per-row decode
+  * GATED: remaining compressed codecs (JPEG/MP3/H.264) need libraries
+    this container doesn't ship — those payloads raise a per-row decode
     error (carried as DATA, the count-and-drop contract), or use the
     deterministic ``fake=True`` decoder in tests.
 
@@ -88,6 +92,95 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if raster.size < need:
         raise ValueError("truncated netpbm raster")
     return w, h, channels, raster.reshape(h, w, channels)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-stdlib PNG decoder (zlib inflate + critical chunks) →
+    (w, h, channels, HxWxC uint8 pixels).
+
+    The reference's actual image path is PIL opening compressed files
+    (hasher.py:95-154); this covers the PNG slice of that natively:
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA), all five scanline filters (None/Sub/Up/
+    Average/Paeth).  Adam7 interlacing and 16-bit depth raise
+    ValueError (per-row decode_error, count-and-drop contract).
+    Alpha is dropped after defiltering — dHash wants luminance.
+    """
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("unsupported codec (not PNG)")
+    i = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while i + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        cid = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        i += 12 + size  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth {depth}, interlace {interlace})"
+        )
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None or (color_type == 3 and plte is None):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * n_ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = n_ch  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        up = recon[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ftype == 0:  # None
+            out = line
+        elif ftype == 2:  # Up
+            out = line + up
+        elif ftype == 1:  # Sub — per-lane cumsum over pixels
+            lanes = line.reshape(-1, bpp)
+            out = np.cumsum(lanes, axis=0).reshape(-1)
+        else:  # Average (3) / Paeth (4): left-dependent, sequential
+            out = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = out[x - bpp] & 0xFF if x >= bpp else 0
+                above = up[x]
+                if ftype == 3:
+                    pred = (left + above) // 2
+                elif ftype == 4:
+                    ul = (recon[y - 1, x - bpp] if (y and x >= bpp) else 0)
+                    p = left + above - ul
+                    pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (above if pb <= pc else ul)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                out[x] = line[x] + pred
+        recon[y] = out & 0xFF
+    px = recon.reshape(h, w, n_ch)
+    if color_type == 3:
+        px = plte[px[:, :, 0]]
+        n_ch = 3
+    elif color_type == 4:
+        px, n_ch = px[:, :, :1], 1
+    elif color_type == 6:
+        px, n_ch = px[:, :, :3], 3
+    return w, h, n_ch, np.ascontiguousarray(px)
 
 
 def _area_resize(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
@@ -217,6 +310,10 @@ def decode_image_features(
                     if data[:2] in (b"P5", b"P6"):
                         # REAL decode + the reference's actual dHash
                         w, h, c, px = decode_netpbm(data)
+                        feats = dhash64(px)
+                    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+                        # REAL compressed-codec decode (pure stdlib zlib)
+                        w, h, c, px = decode_png(data)
                         feats = dhash64(px)
                     elif fake:
                         w, h, c, feats = _fake_decode(data)

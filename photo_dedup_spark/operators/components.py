@@ -46,10 +46,14 @@ def connected_components(
     minimum doc_id in the component — a value-based, partition-order-free
     label (determinism contract, SURVEY.md §7.3).
 
-    ``localCheckpoint`` every ``cc_checkpoint_every`` iterations breaks
-    lineage so plans don't grow exponentially; per-iteration change
-    counts land in the metrics dict (the convergence telemetry the
-    north rule asks for).
+    The loop's only blocking actions are the convergence checks: every
+    ``cfg.cc_check_every`` rounds, one ``localCheckpoint`` materializes
+    the (lazy) rounds since the last check and one changed-count scan
+    tests the fixpoint — batching the checks halves the job/barrier
+    count that was the loop's serial fraction, at the cost of at most
+    one redundant round after convergence.  Per-check change counts
+    land in the metrics dict (the convergence telemetry the north rule
+    asks for).
     """
     sym = (
         edges.select("src", "dst")
@@ -58,11 +62,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
-
-    history: list[int] = []
-    for it in range(cfg.cc_max_iters):
+    def _one_round(labels: DataFrame) -> DataFrame:
         # (a) neighbor minimum: for each dst, min label among neighbors
         neighbor_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -81,34 +81,45 @@ def connected_components(
         parents = propagated.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
         )
-        jumped = (
-            propagated.join(parents, propagated.cluster_id == parents.p_id, "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
-            )
+        return propagated.join(
+            parents, propagated.cluster_id == parents.p_id, "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("p_label"), F.col("cluster_id")).alias("cluster_id"),
         )
-        new_labels = (
-            jumped.alias("n")
+
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    history: list[int] = []
+    rounds_done = 0
+    converged = False
+    while rounds_done < cfg.cc_max_iters and not converged:
+        cur = labels
+        for _ in range(min(cfg.cc_check_every, cfg.cc_max_iters - rounds_done)):
+            cur = _one_round(cur)
+            rounds_done += 1
+        # labels only ever decrease, so comparing against the last
+        # checkpoint detects any change across the whole batch of rounds
+        flagged = (
+            cur.alias("n")
             .join(labels.alias("o"), "doc_id")
             .select(
                 "doc_id",
                 F.col("n.cluster_id").alias("cluster_id"),
                 (F.col("n.cluster_id") < F.col("o.cluster_id")).alias("changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (it + 1) % cfg.cc_checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.where(F.col("changed")).count()
-        labels = new_labels.select("doc_id", "cluster_id")
+        n_changed = flagged.where(F.col("changed")).count()
+        labels = flagged.select("doc_id", "cluster_id")
         history.append(int(n_changed))
-        if n_changed == 0:
-            break
-    else:
+        converged = n_changed == 0
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {cfg.cc_max_iters} "
-            f"iterations (change history: {history[-5:]})"
+            f"rounds (change history: {history[-5:]})"
         )
 
-    metrics = {"cc_iterations": len(history), "cc_changed_per_iter": history}
-    return labels.localCheckpoint(eager=True), metrics
+    metrics = {"cc_iterations": rounds_done, "cc_changed_per_iter": history}
+    return labels, metrics

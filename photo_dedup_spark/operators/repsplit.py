@@ -20,10 +20,28 @@ proposes, the SAME estimator disposes here — mirroring the reference
 where dHash proposes and RMS decides both the edges and the split).
 
 Scale: components in a near-dup graph are small (the verify threshold
-bounds them); a pathological megacomponent (vendored boilerplate)
-above ``cfg.split_max_component`` is left unsplit as one cluster and
-COUNTED in the metrics — degrade-don't-drop, never a silent stall on
-one Python task.
+bounds them), but vendored-boilerplate chains can snowball into
+megacomponents, and the greedy is worst-case quadratic in its group —
+so no single Python task may ever receive an unbounded group.  Two
+tiers enforce that:
+
+  * components ≤ ``cfg.split_max_component`` run the exact
+    oracle-order greedy (the common case, deterministic parity with
+    the sequential oracle);
+  * larger components are hierarchically PRE-BUCKETED by SimHash
+    prefix — near-identical docs share their high simhash bits, so a
+    b-bit prefix keeps a true near-dup pair co-bucketed with
+    probability ≈ (1 − hamming/256)^b while cutting the group into
+    ~2^b independent greedy tasks.  Prefix bits scale with the
+    component: b = clamp(ceil(log2(n / split_bucket_target)), 1, 16).
+    A still-oversized bucket (pathological skew) degrades to one
+    unsplit cluster — degrade-don't-drop, COUNTED via
+    :func:`oversized_component_count`, never a silent stall.
+
+Bucketing can only over-split (buckets never merge), which preserves
+the split's precision role; the recall cost applies to megacomponents
+only and is the logged, bounded alternative to a multi-hour
+single-task straggler.
 """
 
 from __future__ import annotations
@@ -44,8 +62,8 @@ def rep_verify_split(
     cfg: DedupConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """(rep doc_id, component id) × (rep doc_id, repo, path, sketch,
-    sketch_b) → (doc_id, cluster_id) with cluster_id = the founding
-    member's doc_id of the rep's subgroup.
+    sketch_b, simhash) → (doc_id, cluster_id) with cluster_id = the
+    founding member's doc_id of the rep's subgroup.
 
     *comp_labels*: (doc_id, cluster_id) from connected components over
     verified near edges (reps only).  *reps*: per-rep signature rows.
@@ -53,14 +71,41 @@ def rep_verify_split(
     tau_j = cfg.jaccard_threshold
     tau_c = cfg.containment_threshold
     cap = cfg.split_max_component
+    target = cfg.split_bucket_target
 
-    members = comp_labels.select(
-        "doc_id", F.col("cluster_id").alias("comp_id")
-    ).join(reps.select("doc_id", "repo", "path", "sketch", "sketch_b"), "doc_id")
+    sizes = comp_labels.groupBy("cluster_id").agg(F.count("*").alias("comp_n"))
+    members = (
+        comp_labels.select("doc_id", F.col("cluster_id").alias("comp_id"))
+        .join(
+            reps.select("doc_id", "repo", "path", "sketch", "sketch_b", "simhash"),
+            "doc_id",
+        )
+        .join(sizes.select(F.col("cluster_id").alias("comp_id"), "comp_n"), "comp_id")
+    )
+    # SimHash-prefix bucket for oversized components; 0 (single bucket,
+    # exact oracle-order greedy) for everything under the cap
+    members = members.withColumn(
+        "_split_bits",
+        F.least(
+            F.lit(16),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.log2(F.col("comp_n") / F.lit(float(target)))).cast("int"),
+            ),
+        ),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("comp_n") <= F.lit(cap), F.lit(0).cast("long")).otherwise(
+            F.expr(
+                "shiftrightunsigned(coalesce(simhash[0], CAST(0 AS BIGINT)),"
+                " 64 - _split_bits)"
+            )
+        ),
+    )
 
     def _split(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > cap:
-            # megacomponent: one cluster, deterministic label
+            # still-oversized bucket: one cluster, deterministic label
             return pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "cluster_id": pdf["doc_id"].min()}
             )
@@ -87,11 +132,12 @@ def rep_verify_split(
             out_labels.append(label)
         return pd.DataFrame({"doc_id": out_ids, "cluster_id": out_labels})
 
-    return members.groupBy("comp_id").applyInPandas(_split, _SPLIT_SCHEMA)
+    return members.groupBy("comp_id", "bucket").applyInPandas(_split, _SPLIT_SCHEMA)
 
 
 def oversized_component_count(comp_labels: DataFrame, cfg: DedupConfig) -> int:
-    """Metric: components left unsplit by the cap (logged, never silent)."""
+    """Metric: components routed to SimHash-prefix pre-bucketing
+    (logged, never silent)."""
     return (
         comp_labels.groupBy("cluster_id")
         .agg(F.count("*").alias("n"))

@@ -25,6 +25,54 @@ class TestVerifyFailureTelemetry:
         assert acc.value == 1
 
 
+class TestBatchVerifyParity:
+    def test_batch_udf_matches_per_pair_overlap(self, spark, cfg):
+        # the lexsort batch verifier must be bit-identical to the
+        # per-pair sketch_overlap_py arithmetic on mixed levels,
+        # empty sketches, and corrupt rows
+        import numpy as np
+
+        from photo_dedup_spark.functions.signatures import (
+            sketch_from_bytes,
+            sketch_overlap_py,
+            sketch_to_bytes,
+        )
+
+        rng = np.random.RandomState(7)
+        docs_py = {}
+        rows = []
+        for doc_id in range(1, 26):
+            lvl = int(rng.randint(0, 3))
+            size = int(rng.randint(0, 40))
+            # level-b sketches only contain hashes under 2^(64-b)
+            vals = np.unique(
+                rng.randint(0, 1 << (62 - lvl), size=size).astype(np.uint64)
+            )
+            raw = sketch_to_bytes(np.sort(vals).view(np.int64))
+            docs_py[doc_id] = (raw, lvl)
+            rows.append((doc_id, bytearray(raw), lvl, [0, 0, 0, 0]))
+        rows.append((99, bytearray(b"xyz"), 0, [0, 0, 0, 0]))  # corrupt
+        docs = spark.createDataFrame(
+            rows, "doc_id long, sketch binary, sketch_b int, simhash array<bigint>"
+        )
+        pair_rows = [(a, b) for a in range(1, 26) for b in range(a + 1, 26)]
+        pair_rows += [(1, 99), (99, 2)]
+        pairs = spark.createDataFrame(pair_rows, "src long, dst long")
+        got = {
+            (r.src, r.dst): (r.jaccard, r.containment)
+            for r in verify_pairs(pairs, docs, cfg).collect()
+        }
+        assert len(got) == len(pair_rows)
+        for a, b in pair_rows:
+            if 99 in (a, b):
+                assert got[(a, b)] == (0.0, 0.0)
+                continue
+            ra, la = docs_py[a]
+            rb, lb = docs_py[b]
+            exp = sketch_overlap_py(sketch_from_bytes(ra), la, sketch_from_bytes(rb), lb)
+            assert got[(a, b)] == (float(exp[0]), float(exp[1])), (a, b)
+
+
 def _labels(spark, cfg, nodes, edges):
     n = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
     e = spark.createDataFrame(edges, "src long, dst long")

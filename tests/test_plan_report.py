@@ -188,7 +188,12 @@ class TestChainedRenames:
         stage_dsts = {r.dst for r in by_action["rename_stage"]}
         final_srcs = {r.src for r in by_action["rename_final"]}
         assert stage_dsts == final_srcs
-        assert all(d.startswith(".__dedup_tmp_") for d in stage_dsts)
+        # temp hops stay WITHIN the source directory (ADVICE r2: the
+        # reference's _make_temp_rename_path, cleaner.py:495-509)
+        assert all(
+            d.rsplit("/", 1)[-1].startswith(".__dedup_tmp_") for d in stage_dsts
+        )
+        assert all(d.startswith("d/") for d in stage_dsts)
 
     def test_chain_executes_without_clobber(self, chain_selected):
         dups = dup_groups_only(chain_selected)

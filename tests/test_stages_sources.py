@@ -404,6 +404,133 @@ class TestMultimodal:
         assert same <= 2, f"resize changed {same}/64 dhash bits"
         assert diff >= 16, f"different content only {diff}/64 bits apart"
 
+    @staticmethod
+    def _png(px, color_type, filter_type=0, depth=8, interlace=0, palette=None):
+        """Minimal PNG encoder for golden tests: applies the forward
+        scanline filter, deflates, wraps critical chunks (the exact
+        inverse of functions/multimodal.decode_png)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w = px.shape[:2]
+        n_ch = 1 if px.ndim == 2 else px.shape[2]
+        flat = px.reshape(h, w * n_ch).astype(np.int64)
+        bpp = n_ch
+        raw = bytearray()
+        prev = np.zeros(w * n_ch, dtype=np.int64)
+        for y in range(h):
+            line = flat[y]
+            if filter_type == 0:
+                enc = line
+            elif filter_type == 1:
+                left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+                enc = line - left
+            elif filter_type == 2:
+                enc = line - prev
+            elif filter_type == 3:
+                left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+                enc = line - (left + prev) // 2
+            else:  # Paeth
+                left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+                ul = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+                p = left + prev - ul
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                enc = line - pred
+            raw.append(filter_type)
+            raw += (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+
+        def chunk(cid, body):
+            return (
+                struct.pack(">I", len(body))
+                + cid
+                + body
+                + struct.pack(">I", zlib.crc32(cid + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    def test_png_roundtrip_all_filters(self):
+        # golden: decode(encode(px, f)) == px for every scanline filter
+        import numpy as np
+
+        from photo_dedup_spark.functions.multimodal import decode_png
+
+        rng = np.random.RandomState(5)
+        px = rng.randint(0, 256, size=(13, 11, 3)).astype(np.uint8)
+        for f in range(5):
+            w, h, c, got = decode_png(self._png(px, color_type=2, filter_type=f))
+            assert (w, h, c) == (11, 13, 3)
+            assert np.array_equal(got, px), f"filter {f} round-trip"
+        gray = rng.randint(0, 256, size=(9, 7)).astype(np.uint8)
+        for f in range(5):
+            w, h, c, got = decode_png(self._png(gray, color_type=0, filter_type=f))
+            assert (w, h, c) == (7, 9, 1)
+            assert np.array_equal(got[:, :, 0], gray), f"gray filter {f}"
+        # palette: indices resolve through PLTE to RGB
+        pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, size=(8, 6)).astype(np.uint8)
+        w, h, c, got = decode_png(
+            self._png(idx, color_type=3, filter_type=1, palette=pal)
+        )
+        assert (w, h, c) == (6, 8, 3)
+        assert np.array_equal(got, pal[idx])
+
+    def test_png_alpha_dropped_and_unsupported_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from photo_dedup_spark.functions.multimodal import decode_png
+
+        rng = np.random.RandomState(6)
+        rgba = rng.randint(0, 256, size=(6, 5, 4)).astype(np.uint8)
+        w, h, c, got = decode_png(self._png(rgba, color_type=6, filter_type=4))
+        assert c == 3 and np.array_equal(got, rgba[:, :, :3])
+        ga = rng.randint(0, 256, size=(6, 5, 2)).astype(np.uint8)
+        _, _, c, got = decode_png(self._png(ga, color_type=4, filter_type=2))
+        assert c == 1 and np.array_equal(got[:, :, 0], ga[:, :, 0])
+        gray = rng.randint(0, 256, size=(4, 4)).astype(np.uint8)
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(self._png(gray, color_type=0, depth=16))
+        with _pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(self._png(gray, color_type=0, interlace=1))
+        with _pytest.raises(ValueError, match="not PNG"):
+            decode_png(b"\xff\xd8\xffjpeg")
+
+    def test_png_dhash_matches_netpbm(self, spark):
+        # the SAME image through the PPM path and the PNG path must give
+        # the SAME dHash — codec-independent features, like the
+        # reference hashing PIL output regardless of source format
+        import numpy as np
+
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+
+        f1 = lambda v, u: 127 + 100 * np.sin(3 * u) * np.cos(2 * v)  # noqa: E731
+        ys, xs = np.mgrid[0:120, 0:160]
+        px = np.clip(f1(ys / 120, xs / 160), 0, 255).astype(np.uint8)
+        rgb = np.repeat(px[:, :, None], 3, axis=2)
+        ppm = b"P6\n160 120\n255\n" + rgb.tobytes()
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(ppm)),
+                (2, bytearray(self._png(rgb, color_type=2, filter_type=4))),
+            ],
+            "media_id long, payload binary",
+        )
+        rows = {r.media_id: r for r in decode_image_features(media).collect()}
+        assert rows[2].decode_error is None
+        assert (rows[2].width, rows[2].height, rows[2].channels) == (160, 120, 3)
+        assert rows[1].features == rows[2].features
+
     def test_wav_decode_and_energy_profile(self, spark):
         import numpy as np
 
@@ -480,8 +607,11 @@ class TestSimilaritySearch:
         exact = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 30), k=1)
         truth = {(r.query_id, r.match_id) for r in exact.collect()}
         # near-uniform random embeddings are the adversarial case for
-        # SRP (all cosines ≈ 0); 4 bits × 12 tables measured 0.93 here
-        ann = cosine_topk_srp(emb, k=5, n_bits=4, n_tables=12)
+        # SRP (all cosines ≈ 0): per-table collision prob for the true
+        # top-1 is (1 - θ/π)^n_bits, so fewer bits + more tables is the
+        # recall lever.  3 bits × 12 tables measured 1.0 here (4×12:
+        # 0.93, 4×20: 0.97); gate at the brute-force referee's 0.95.
+        ann = cosine_topk_srp(emb, k=5, n_bits=3, n_tables=12)
         got = {(r.query_id, r.match_id) for r in ann.where(F.col("query_id") < 30).collect()}
         recall = len(truth & got) / len(truth)
-        assert recall >= 0.8, f"SRP top-1@5 recall {recall}"
+        assert recall >= 0.95, f"SRP top-1@5 recall {recall}"
