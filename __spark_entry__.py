@@ -678,6 +678,145 @@ WHERE i.inter_cnt * 10 >= least(sa.sz, sb.sz) * 9
 """
 
 
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style thresholded set-similarity join at τ=0.7 (the
+    documented upgrade of the plain inverted-index gram join): each doc
+    indexes only its PREFIX grams — the first |x| − ceil(τ·|x|) + 1
+    grams in global-df-then-lexicographic order — because any pair with
+    Jaccard ≥ τ must share at least one prefix gram (Xiao et al.,
+    PPJoin).  Candidates then get exact intersection counts by joining
+    the candidate pairs back to the full gram index — the full index
+    never self-joins, which is what cuts Σdf² candidate work by ~an
+    order of magnitude at τ=0.7 (reduction measured in
+    tests/test_oracle_parity.py and logged there).
+
+    The sf corpora have almost no natural pairs above τ, so BOTH
+    engines union in deterministic truncated copies of every 13th
+    document (80% prefix ⇒ j ≈ 0.8) — same de-vacuation pattern as
+    exact_dup_groups."""
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    base = d.select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+        ).alias("text"),
+    )
+    aug = base.unionByName(planted).where(F.length(F.trim(F.col("text"))) > 0)
+    toks = aug.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    dfc = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    kept = grams.join(dfc, "gram").where(F.col("df") <= _NGRAM_DF_CAP)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rk") <= F.col("sz") - F.ceil(F.col("sz") * 7 / F.lit(10.0)) + 1)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col("a.gram") == F.col("b.gram"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    ka = kept.select(F.col("doc_id").alias("src"), "gram")
+    kb = kept.select(F.col("doc_id").alias("dst"), "gram")
+    inter = (
+        cand.join(ka, "src").join(kb, ["dst", "gram"]).groupBy("src", "dst")
+        .agg(F.count("*").alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
+    union_cnt = F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt")
+    return (
+        inter.join(sa, "src")
+        .join(sb, "dst")
+        .where(F.col("inter_cnt") * 10 >= union_cnt * 7)
+        .select(
+            "src",
+            "dst",
+            F.col("inter_cnt").cast("long").alias("inter_cnt"),
+            union_cnt.cast("long").alias("union_cnt"),
+        )
+    )
+
+
+SQL_PPJOIN_PAIRS = f"""
+WITH src_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), aug AS (
+  SELECT doc_id, text FROM src_docs
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+  FROM src_docs WHERE doc_id % 13 = 0
+), tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM aug WHERE length(trim(text)) > 0
+), ex AS (
+  SELECT doc_id,
+         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS gram
+  FROM tk WHERE len(t) >= 3
+), dfc AS (
+  SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
+), kept AS (
+  SELECT e.doc_id, e.gram, d.df FROM ex e JOIN dfc d USING (gram)
+  WHERE d.df <= {_NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, gram,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, gram) AS rk
+  FROM kept
+), prefix AS (
+  SELECT r.doc_id, r.gram FROM ranked r JOIN sizes s USING (doc_id)
+  WHERE r.rk <= s.sz - CEIL(s.sz * 7 / 10.0) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM prefix a JOIN prefix b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.src, c.dst, COUNT(*) AS inter_cnt
+  FROM cand c
+  JOIN kept ka ON ka.doc_id = c.src
+  JOIN kept kb ON kb.doc_id = c.dst AND kb.gram = ka.gram
+  GROUP BY 1, 2
+)
+SELECT i.src, i.dst,
+       CAST(i.inter_cnt AS BIGINT) AS inter_cnt,
+       CAST(sa.sz + sb.sz - i.inter_cnt AS BIGINT) AS union_cnt
+FROM inter i JOIN sizes sa ON i.src = sa.doc_id JOIN sizes sb ON i.dst = sb.doc_id
+WHERE i.inter_cnt * 10 >= (sa.sz + sb.sz - i.inter_cnt) * 7
+"""
+
+
 # H4 dispatch fixture: these langs key on normalized content, the rest raw
 _DISPATCH_LANGS = ("en", "de")
 
@@ -1032,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
+        "ppjoin_pairs": q_ppjoin_pairs,
         "strict_resplit": q_strict_resplit,
         "dispatched_keys": q_dispatched_keys,
         "parsed_dates": q_parsed_dates,
@@ -1070,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": SQL_FINGERPRINTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
+        "ppjoin_pairs": SQL_PPJOIN_PAIRS,
         "strict_resplit": SQL_STRICT_RESPLIT,
         "dispatched_keys": _sql_dispatched_keys(),
         "parsed_dates": _sql_parsed_dates(),

@@ -92,6 +92,7 @@ def clean(
     source: str | None = None,
     dry_run: bool = False,
     force: bool = False,
+    do_rename: bool = True,  # False = skip Phase B (reference --no-rename)
     date_scope: str | None = None,  # None = no Phase C; 'kept-only' | 'all-files'
     timestamps: DataFrame | None = None,  # (path, commit_ts) for Phase C
     ts_col: str = "commit_ts",
@@ -108,7 +109,9 @@ def clean(
 
     selected = _selected_from_groups(groups)
     dups = dup_groups_only(selected)
-    plan = move_plan(dups).unionByName(rename_plan(dups))
+    plan = move_plan(dups)
+    if do_rename:
+        plan = plan.unionByName(rename_plan(dups))
     null_ts_excluded = None
     if date_scope is not None:
         if timestamps is None:
@@ -173,3 +176,127 @@ def undo(spark: SparkSession, log_dir: str) -> DataFrame:
     inverse = undo_plan(events)
     eventlog.set_status(log_dir, "undone")
     return inverse
+
+
+# ---------------------------------------------------------------------------
+# CLI — mirrors /root/reference/clean.py:36-133 flag for flag
+# ---------------------------------------------------------------------------
+
+def build_parser():
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="photo_dedup_spark.clean",
+        description="Plan and log the safe removal of duplicate files",
+    )
+    parser.add_argument(
+        "--dir",
+        "-d",
+        required=True,
+        help="source table the report was scanned from (parquet path or identifier)",
+    )
+    parser.add_argument(
+        "--report",
+        "-r",
+        default=None,
+        help="report directory containing duplicates_data.json (default: --dir)",
+    )
+    parser.add_argument(
+        "--backup",
+        "-b",
+        default=None,
+        help="transaction-log directory (default: <report>/_duplicates_backup; "
+        "the reference's backup dir — here it holds the event log, the "
+        "record an executor replays/undoes, since this engine plans and "
+        "logs but never moves bytes itself)",
+    )
+    parser.add_argument(
+        "--no-rename",
+        action="store_true",
+        help="skip Phase B: don't rename kept files to more readable names",
+    )
+    parser.add_argument(
+        "--no-date-rename",
+        action="store_true",
+        help="skip Phase C: no date renames or mtime updates",
+    )
+    parser.add_argument(
+        "--date-rename-scope",
+        choices=["kept-only", "all-files"],
+        default="kept-only",
+        help="Phase C scope (default: kept-only)",
+    )
+    parser.add_argument(
+        "--timestamps",
+        default=None,
+        help="parquet of (path, commit_ts) rows feeding Phase C dates "
+        "(this engine has no filesystem mtimes to fall back on; "
+        "required when Phase C is enabled)",
+    )
+    parser.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="compute the full plan but write nothing",
+    )
+    parser.add_argument(
+        "--yes",
+        "-y",
+        action="store_true",
+        help="accepted for surface parity (this engine is non-interactive)",
+    )
+    parser.add_argument(
+        "--undo",
+        action="store_true",
+        help="undo the previous cleanup using the transaction log",
+    )
+    parser.add_argument(
+        "--force",
+        action="store_true",
+        help="allow source mismatch between report and --dir",
+    )
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    import os
+    import sys
+
+    args = build_parser().parse_args(argv)
+    from photo_dedup_spark.session import build_session
+    from photo_dedup_spark.sources.report import InvalidReportError
+
+    report_dir = args.report or args.dir
+    log_dir = args.backup or os.path.join(report_dir, "_duplicates_backup")
+    spark = build_session(app_name="photo-dedup-clean")
+    try:
+        if args.undo:
+            inverse = undo(spark, log_dir)
+            print(f"undo plan: {inverse.count()} inverse actions (status: undone)")
+            return
+        timestamps = None
+        date_scope = None
+        if not args.no_date_rename and args.timestamps is not None:
+            timestamps = spark.read.parquet(args.timestamps)
+            date_scope = args.date_rename_scope
+        result = clean(
+            spark,
+            report_dir=report_dir,
+            log_dir=log_dir,
+            source=args.dir,
+            dry_run=args.dry_run,
+            force=args.force,
+            do_rename=not args.no_rename,
+            date_scope=date_scope,
+            timestamps=timestamps,
+        )
+        mode = "dry-run" if args.dry_run else "logged"
+        print(f"clean plan ({mode}): {result.summary['actions']}")
+    except (InvalidReportError, eventlog.EventLogError, ValueError) as e:
+        # reference exit contract: PhotoDedupError → stderr + exit 1
+        # (clean.py:128-130)
+        print(f"\nERROR: {e}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
