@@ -1,0 +1,341 @@
+"""Pure-numpy baseline JPEG (SOF0) decoder.
+
+The reference's actual image path opens compressed files via PIL
+(/root/reference/photo_dedup/hasher.py:95-154); JPEG is the dominant
+codec of any real photo corpus.  This module decodes baseline
+sequential-DCT JPEG natively — stdlib ``struct`` + numpy only:
+
+  * markers: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI;
+  * Huffman tables and quantization tables are read FROM THE FILE
+    (DHT/DQT), never assumed;
+  * entropy decode: canonical Huffman, DC prediction + EXTEND,
+    AC run/size with ZRL and EOB, 0xFF00 byte unstuffing, RSTn
+    restart markers with predictor reset;
+  * dequantize → un-zigzag → batched separable IDCT (one tensordot
+    per component, not per block) → level shift;
+  * chroma upsampling for any (h,v) sampling factors (4:4:4, 4:2:0,
+    4:2:2, ...) by pixel repetition; BT.601 YCbCr→RGB.
+
+Unsupported (raise ValueError → the per-row ``decode_error``
+count-and-drop contract in multimodal.decode_image_features):
+progressive (SOF2) and arithmetic-coded JPEGs, 12-bit precision,
+component counts other than 1 or 3.
+
+Scale note: the bit-serial Huffman walk is interpreter-bound (~the
+cost PIL pays in C); at 100 TB the decode stage parallelizes per
+payload across executors via mapInPandas, so per-image decode speed
+bounds single-task latency, not pipeline throughput.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index z in scan order -> (row, col) flat index
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8-point DCT-II basis: C[k, n] = c(k) cos((2n+1) k pi / 16)
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _idct2(coefs: np.ndarray) -> np.ndarray:
+    """Batched 2-D inverse DCT: (n, 8, 8) coefficient blocks ->
+    (n, 8, 8) spatial blocks.  block = C^T @ coef @ C."""
+    return np.einsum("ki,nkl,lj->nij", _C, coefs, _C, optimize=True)
+
+
+class _HuffTable:
+    """Canonical Huffman decoder built from DHT (BITS, HUFFVAL)."""
+
+    __slots__ = ("min_code", "max_code", "val_ptr", "huffval")
+
+    def __init__(self, bits: list[int], huffval: bytes):
+        # JPEG F.2.2.3 DECODE: per length l, codes are consecutive;
+        # min_code/max_code delimit them, val_ptr indexes huffval
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        self.huffval = huffval
+        code = 0
+        k = 0
+        for l in range(1, 17):
+            if bits[l - 1]:
+                self.val_ptr[l] = k
+                self.min_code[l] = code
+                code += bits[l - 1]
+                k += bits[l - 1]
+                self.max_code[l] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and restart-marker awareness."""
+
+    __slots__ = ("data", "pos", "bitbuf", "bitcnt")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                # marker reached (EOI / RSTn seen early): JPEG pads the
+                # tail with 1-bits by spec
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.bitcnt += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.bitcnt += 8
+
+    def read_bit(self) -> int:
+        if self.bitcnt == 0:
+            self._fill()
+        self.bitcnt -= 1
+        return (self.bitbuf >> self.bitcnt) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        while self.bitcnt < n:
+            self._fill()
+        self.bitcnt -= n
+        v = (self.bitbuf >> self.bitcnt) & ((1 << n) - 1)
+        return v
+
+    def align_and_expect_rst(self) -> None:
+        """Byte-align and consume an RSTn marker (F.2.1.3.1)."""
+        self.bitbuf = 0
+        self.bitcnt = 0
+        d = self.data
+        # skip pad bytes up to the marker
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing restart marker")
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for l in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if table.max_code[l] >= 0 and code <= table.max_code[l]:
+                return table.huffval[table.val_ptr[l] + code - table.min_code[l]]
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: map s received bits to a signed magnitude."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline JPEG bytes -> (w, h, channels, HxWxC uint8 pixels).
+
+    channels is 3 (RGB, from YCbCr) or 1 (grayscale).  Raises
+    ValueError for anything outside baseline sequential 8-bit."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("unsupported codec (not JPEG)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            i += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        body = data[i + 4 : i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quant table")
+                qt[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=j + 1
+                ).astype(np.int32)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _HuffTable(bits, body[j + 17 : j + 17 + n])
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported JPEG mode (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                data, i, frame, qt, huff, scan_tables, restart_interval
+            )
+    raise ValueError("no SOS marker (truncated JPEG)")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    qt: dict,
+    huff: dict,
+    scan_tables: dict,
+    restart_interval: int,
+) -> tuple[int, int, int, np.ndarray]:
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    reader = _BitReader(data, pos)
+
+    # per component: coefficient store (n_blocks, 64) in raster block order
+    stores = []
+    for c in comps:
+        nb = (mcux * c["h"]) * (mcuy * c["v"])
+        stores.append(np.zeros((nb, 64), dtype=np.int32))
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        td_ta = scan_tables.get(c["id"])
+        if td_ta is None:
+            raise ValueError(f"component {c['id']} absent from scan")
+        c["td"], c["ta"] = td_ta
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError("missing Huffman table")
+
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_and_expect_rst()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tab = huff[(0, c["td"])]
+                ac_tab = huff[(1, c["ta"])]
+                wblocks = mcux * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = reader.decode_huff(dc_tab)
+                        if s > 11:
+                            raise ValueError("bad DC category")
+                        diff = _extend(reader.receive(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        bi = (my * c["v"] + by) * wblocks + (mx * c["h"] + bx)
+                        stores[ci][bi] = zz
+            mcu_count += 1
+
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        deq = stores[ci] * q[np.newaxis, :]
+        blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = deq  # un-zigzag
+        spatial = _idct2(blocks.reshape(-1, 8, 8)) + 128.0
+        wb = mcux * c["h"]
+        vb = mcuy * c["v"]
+        plane = (
+            spatial.reshape(vb, wb, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(vb * 8, wb * 8)
+        )
+        # crop to the component's true extent, then upsample to full res
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        px = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px[:, :, np.newaxis]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return w, h, 3, px

@@ -17,9 +17,12 @@ Codec support is tiered, honestly:
         gray/RGB/palette/alpha, all five scanline filters) — the
         compressed format the reference actually reads via PIL,
         decoded natively and fed to the same dHash;
+      - baseline JPEG (SOF0: file-supplied Huffman/quant tables,
+        restart markers, any chroma subsampling — functions/jpeg.py)
+        — the dominant photo codec, decoded natively to the same dHash;
       - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
         = per-block RMS energy profile.
-  * GATED: remaining compressed codecs (JPEG/MP3/H.264) need libraries
+  * GATED: remaining compressed codecs (progressive JPEG/MP3/H.264) need libraries
     this container doesn't ship — those payloads raise a per-row decode
     error (carried as DATA, the count-and-drop contract), or use the
     deterministic ``fake=True`` decoder in tests.
@@ -314,6 +317,12 @@ def decode_image_features(
                     elif data[:8] == b"\x89PNG\r\n\x1a\n":
                         # REAL compressed-codec decode (pure stdlib zlib)
                         w, h, c, px = decode_png(data)
+                        feats = dhash64(px)
+                    elif data[:2] == b"\xff\xd8":
+                        # REAL baseline-JPEG decode (pure numpy Huffman+IDCT)
+                        from photo_dedup_spark.functions.jpeg import decode_jpeg
+
+                        w, h, c, px = decode_jpeg(data)
                         feats = dhash64(px)
                     elif fake:
                         w, h, c, feats = _fake_decode(data)

@@ -95,10 +95,16 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 # chunk the (shingles × perms) multiply so the temporary stays
-# cache-resident: 1024×128×8B = 1 MiB fits L2 — measured 3× faster per
-# doc than 64 Ki chunks, and 32 concurrent python workers stop
-# saturating memory bandwidth (the silent multi-core scaling killer)
+# cache-resident: the (chunk × perm-block) temp is 1024×16×8B = 128 KiB
+# — comfortably inside a private L2 even with 32 concurrent python
+# workers.  Without the perm blocking the 1 MiB full-width temp spills
+# to shared L3/DRAM and the signature stage becomes memory-bandwidth
+# bound: measured 8→32-core scaling of only ~3.0× (BENCH/SCALING.md),
+# because DRAM traffic (~8 MB/doc of temporaries) doesn't shrink with
+# cores.  Blocking is bit-identical — same wrapping uint64 products,
+# same minima, just computed 16 permutations at a time.
 _SHINGLE_CHUNK = 1024
+_PERM_BLOCK = 16
 
 
 def minhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
@@ -137,8 +143,11 @@ def _minhash_from_shingles(sh: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     mins = np.full(cfg.minhash_perms, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     for start in range(0, sh.size, _SHINGLE_CHUNK):
         chunk = sh[start : start + _SHINGLE_CHUNK]
-        vals = chunk[:, None] * a[None, :] + b[None, :]
-        np.minimum(mins, vals.min(axis=0), out=mins)
+        col = chunk[:, None]
+        for p0 in range(0, cfg.minhash_perms, _PERM_BLOCK):
+            p1 = p0 + _PERM_BLOCK
+            vals = col * a[None, p0:p1] + b[None, p0:p1]
+            np.minimum(mins[p0:p1], vals.min(axis=0), out=mins[p0:p1])
     return (mins >> np.uint64(33)).astype(np.int32)
 
 

@@ -144,13 +144,11 @@ def run_pipeline(
     # (scanner.py:550, oracle.py:94).
     #
     # The rep is picked with groupBy().agg(min(struct(...))), NOT a
-    # window: a hash aggregate partial-combines map-side, so at most
-    # one content-bearing candidate row per key per mapper crosses the
-    # shuffle, while a window min would shuffle EVERY row's content.
-    # (Struct comparison stops at doc_id — content is payload, never
-    # compared.)  keyed itself stays lazy: every consumer prunes its
-    # own columns from the parquet scan, which beats materializing a
-    # content-bearing checkpoint.
+    # window: a hash aggregate partial-combines map-side, and the agg
+    # runs over content-FREE rows (keyed_lite below) so only key/id
+    # columns ever cross that shuffle; rep content is re-attached from
+    # the raw scan afterwards, while a window min would shuffle EVERY
+    # row's content.
     # H4 dispatch: with cfg.normalize_langs set, only those langs key on
     # normalized content — the rest key raw (compute_hash branch,
     # hasher.py:157-172); None keeps the all-normalized v1 behavior
@@ -162,29 +160,42 @@ def run_pipeline(
         group_key = dispatch_key_col(
             F.col("lang"), F.col("content"), cfg.normalize_langs
         )
-    keyed = docs.select(
+    # keyed_lite: every identity/key column EXCEPT content, materialized
+    # ONCE.  normalize+sha over full content is the single most expensive
+    # JVM pass; leaving `keyed` lazy made every downstream consumer
+    # (reps agg, rep_map, final members join) recompute it — measured as
+    # the dominant cost of the final materialization.  The checkpoint is
+    # ~100 B/row (no content); at true 10^12-row scale this is the
+    # per-stage parquet checkpoint plans/checkpoint.py persists — here a
+    # localCheckpoint serves the same single-computation role.
+    keyed_lite = docs.select(
         "doc_id",
         "repo",
         "path",
         "lang",
         "n_chars",
-        "content",
         exact_key_col(F.col("content")).alias("exact_key"),
         group_key.alias("norm_key"),
-    )
-    reps = keyed.groupBy("norm_key").agg(
-        F.min(F.struct("repo", "path", "doc_id", "n_chars", "content")).alias("m")
+    ).localCheckpoint(eager=True)
+    reps_lite = keyed_lite.groupBy("norm_key").agg(
+        F.min(F.struct("repo", "path", "doc_id", "n_chars")).alias("m")
     ).select(
         "norm_key",
         F.col("m.doc_id").alias("doc_id"),
         F.col("m.repo").alias("repo"),
         F.col("m.path").alias("path"),
         F.col("m.n_chars").alias("n_chars"),
-        F.col("m.content").alias("content"),
     )
-    # member → representative mapping; content pruned out of this join
-    rep_map = keyed.select("doc_id", "norm_key").join(
-        reps.select("norm_key", F.col("doc_id").alias("rep_id")), "norm_key"
+    # re-attach content for representatives only: join the content-free
+    # rep table back to the raw scan on doc_id — content is never
+    # re-normalized, and with the rep table under the broadcast
+    # threshold (AQE converts at runtime) it never shuffles either.
+    # At cluster scale past the threshold this degrades to a shuffle
+    # join on doc_id — still exactly one normalize pass.
+    reps = docs.select("doc_id", "content").join(reps_lite, "doc_id")
+    # member → representative mapping; pure checkpointed-column join
+    rep_map = keyed_lite.select("doc_id", "norm_key").join(
+        reps_lite.select("norm_key", F.col("doc_id").alias("rep_id")), "norm_key"
     ).select("doc_id", "rep_id")
     _mark("keys")
 
@@ -301,7 +312,7 @@ def run_pipeline(
     # domain stays LongType
     if strict_verify:
         relabeled = (
-            keyed.select("doc_id", "exact_key")
+            keyed_lite.select("doc_id", "exact_key")
             .join(labels, "doc_id")
             .withColumn(
                 "strict_min",
@@ -314,7 +325,7 @@ def run_pipeline(
         labels = relabeled
 
     # --- stage 6: keep-selection over members
-    members = keyed.select("doc_id", "repo", "path", "lang", "n_chars").join(
+    members = keyed_lite.select("doc_id", "repo", "path", "lang", "n_chars").join(
         labels, "doc_id"
     )
     selected = keep_selection(members)

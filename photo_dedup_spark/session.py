@@ -41,6 +41,16 @@ def build_session(
         # local mode: driver == executor JVM, so this is the entire
         # memory budget (checkpoints + shuffle + broadcast build)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # long-lived JVMs recompile codegen'd stages across many jobs;
+        # the 240 MB default code cache forces flush/recompile churn on
+        # a multi-run driver (measured run-to-run wall oscillation in
+        # BENCH/SCALING.md's plateau series) — reserve well past peak
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

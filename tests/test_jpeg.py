@@ -1,0 +1,324 @@
+"""Round-trip tests for the pure-numpy baseline JPEG decoder.
+
+The encoder below is a minimal, self-contained baseline-JPEG writer
+used only to build fixtures (no external imaging libraries exist in
+this environment).  It emits its OWN Huffman and quantization tables
+into DHT/DQT — the decoder reads tables from the file, so the round
+trip exercises the real decode path (canonical Huffman, EXTEND, ZRL/
+EOB, byte stuffing, restart markers, subsampled MCU interleave, IDCT)
+rather than any shared constants.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from photo_dedup_spark.functions.jpeg import _C, decode_jpeg
+from photo_dedup_spark.functions.multimodal import dhash64
+
+# --- minimal encoder -------------------------------------------------------
+
+# single-length canonical tables (valid per JPEG: all-ones code unused):
+# DC: 12 categories as 4-bit codes; AC: EOB, ZRL and every (run,size)
+# with size 1..10 as 8-bit codes.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_BITS = [0] * 7 + [162] + [0] * 8
+_AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+# frequency-increasing quant table (coarser for high frequencies)
+_QUANT = np.clip(np.add.outer(np.arange(8), np.arange(8)) * 2 + 8, 1, 255).astype(
+    np.int32
+)
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _canonical_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(bits[l - 1]):
+            codes[vals[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def align_ones(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    s = abs(v).bit_length()
+    return (s, v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_block(wr: _BitWriter, block: np.ndarray, pred: int) -> int:
+    coef = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    q = np.rint(coef / _QUANT).astype(np.int64)
+    zz = q.reshape(-1)[_ZIGZAG]
+    s, mag = _magnitude(int(zz[0]) - pred)
+    c, l = _DC_CODES[s]
+    wr.put(c, l)
+    if s:
+        wr.put(mag, s)
+    run = 0
+    last_nz = np.flatnonzero(zz[1:])
+    last = (last_nz[-1] + 1) if last_nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, l = _AC_CODES[0xF0]
+            wr.put(c, l)
+            run -= 16
+        s, mag = _magnitude(v)
+        c, l = _AC_CODES[(run << 4) | s]
+        wr.put(c, l)
+        wr.put(mag, s)
+        run = 0
+    if last < 63:
+        c, l = _AC_CODES[0x00]
+        wr.put(c, l)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode HxW (gray) or HxWx3 (RGB) uint8 pixels as baseline JPEG.
+    ``subsample=True`` uses 4:2:0 chroma; requires RGB input."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down(c):
+                ph = -(-h // 2) * 2
+                pw = -(-w // 2) * 2
+                cp = np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+                return cp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+            planes = [y, down(cb), down(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for pl, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(
+            np.pad(
+                pl,
+                ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])),
+                mode="edge",
+            )
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(int(x) for x in _QUANT.reshape(-1)[_ZIGZAG])
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (sh, sv) in enumerate(samps):
+        out += bytes([ci + 1, (sh << 4) | sv, 0])
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += b"\x00\x3f\x00"  # Ss/Se/AhAl for sequential
+
+    wr = _BitWriter()
+    pred = [0] * nc
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wr.align_ones()
+                wr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0] * nc
+            for ci, (sh, sv) in enumerate(samps):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(wr, blk, pred[ci])
+            mcu += 1
+    wr.align_ones()
+    out += wr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# --- tests -----------------------------------------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx * 255 / max(w - 1, 1) + yy * 64 / max(h - 1, 1)) % 256).astype(
+        np.uint8
+    )
+
+
+class TestJpegRoundTrip:
+    def test_flat_gray(self):
+        img = np.full((64, 64), 128, dtype=np.uint8)
+        w, h, c, px = decode_jpeg(encode_jpeg(img))
+        assert (w, h, c) == (64, 64, 1)
+        assert np.abs(px.astype(int) - 128).max() <= 2
+
+    def test_gradient_non_multiple_of_8(self):
+        img = _gradient(24, 41)  # exercises edge-block padding + crop
+        w, h, c, px = decode_jpeg(encode_jpeg(img))
+        assert (w, h, c) == (41, 24, 1)
+        err = np.abs(px[:, :, 0].astype(float) - img.astype(float))
+        assert err.mean() < 4.0, err.mean()
+
+    def test_rgb_444_quadrants(self):
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        img[:16, :16] = (220, 30, 30)
+        img[:16, 16:] = (30, 220, 30)
+        img[16:, :16] = (30, 30, 220)
+        img[16:, 16:] = (200, 200, 200)
+        w, h, c, px = decode_jpeg(encode_jpeg(img))
+        assert (w, h, c) == (32, 32, 3)
+        for sl, want in (
+            ((slice(2, 14), slice(2, 14)), (220, 30, 30)),
+            ((slice(2, 14), slice(18, 30)), (30, 220, 30)),
+            ((slice(18, 30), slice(2, 14)), (30, 30, 220)),
+            ((slice(18, 30), slice(18, 30)), (200, 200, 200)),
+        ):
+            got = px[sl].reshape(-1, 3).mean(axis=0)
+            assert np.abs(got - np.array(want)).max() < 12, (got, want)
+
+    def test_chroma_420_subsampling(self):
+        img = np.zeros((48, 40, 3), dtype=np.uint8)
+        img[:, :20] = (250, 60, 60)
+        img[:, 20:] = (60, 60, 250)
+        w, h, c, px = decode_jpeg(encode_jpeg(img, subsample=True))
+        assert (w, h, c) == (40, 48, 3)
+        left = px[8:40, 4:16].reshape(-1, 3).mean(axis=0)
+        right = px[8:40, 24:36].reshape(-1, 3).mean(axis=0)
+        assert left[0] > 180 and left[2] < 120, left
+        assert right[2] > 180 and right[0] < 120, right
+
+    def test_restart_markers(self):
+        img = _gradient(32, 56)
+        data = encode_jpeg(img, restart_interval=2)
+        assert b"\xff\xd0" in data  # RST0 present
+        w, h, c, px = decode_jpeg(data)
+        err = np.abs(px[:, :, 0].astype(float) - img.astype(float))
+        assert err.mean() < 4.0
+
+    def test_dhash_stable_across_requant(self):
+        # same scene, different quant -> near-identical dHash (the
+        # perceptual property the pipeline relies on)
+        img = _gradient(64, 72)
+        _, _, _, px1 = decode_jpeg(encode_jpeg(img))
+        global _QUANT
+        q_orig = _QUANT
+        try:
+            _QUANT = np.clip(q_orig * 2, 1, 255)
+            _DC = encode_jpeg(img)
+        finally:
+            _QUANT = q_orig
+        _, _, _, px2 = decode_jpeg(_DC)
+        d1 = dhash64(px1)
+        d2 = dhash64(px2)
+        assert int((d1 != d2).sum()) <= 6
+
+    def test_rejects_progressive(self):
+        img = _gradient(16, 16)
+        data = bytearray(encode_jpeg(img))
+        i = data.index(b"\xff\xc0")
+        data[i + 1] = 0xC2  # flip SOF0 -> SOF2
+        with pytest.raises(ValueError, match="progressive"):
+            decode_jpeg(bytes(data))
+
+    def test_rejects_truncation_and_garbage(self):
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG not a jpeg")
+        img = _gradient(16, 16)
+        data = encode_jpeg(img)
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:20])  # header cut before SOS
+
+
+class TestMediaIntegration:
+    def test_decode_image_features_routes_jpeg(self, spark):
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+
+        img = _gradient(32, 32)
+        rows = [
+            (1, bytearray(encode_jpeg(img))),
+            (2, bytearray(b"\xff\xd8\xff\xe0 truncated")),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {
+            r.media_id: r
+            for r in decode_image_features(media).collect()
+        }
+        ok = out[1]
+        assert (ok.width, ok.height, ok.channels) == (32, 32, 1)
+        assert ok.decode_error is None and len(ok.features) == 64
+        bad = out[2]
+        assert bad.decode_error is not None and bad.features is None
