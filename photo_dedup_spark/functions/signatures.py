@@ -84,13 +84,22 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         for byte in b:  # python-int math, wrapped mod 2**64 at the end
             h = (h * base + int(byte) + 1) & 0xFFFFFFFFFFFFFFFF
         return np.array([h], dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k)
     base = int(_POLY_BASE)
     powers = np.array(
         [pow(base, k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
     )
-    # (+1 per byte so that NUL bytes still contribute to position)
-    hashes = (windows + np.uint64(1)) @ powers  # wraps mod 2**64
+    # (+1 per byte so that NUL bytes still contribute to position);
+    # blocked so the uint64-widened window temp stays L2-resident
+    # (full-width astype is n×k×8 B ≈ 230 KB per 4 KB doc — DRAM
+    # traffic that doesn't shrink with cores; same blocking rationale
+    # as _minhash_from_shingles, bit-identical result)
+    n = windows.shape[0]
+    hashes = np.empty(n, dtype=np.uint64)
+    for s in range(0, n, _SHINGLE_CHUNK):
+        w64 = windows[s : s + _SHINGLE_CHUNK].astype(np.uint64)
+        w64 += np.uint64(1)
+        hashes[s : s + _SHINGLE_CHUNK] = w64 @ powers  # wraps mod 2**64
     return np.unique(hashes)
 
 
