@@ -817,6 +817,130 @@ WHERE i.inter_cnt * 10 >= (sa.sz + sb.sz - i.inter_cnt) * 7
 """
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring containment (the north rule's "suffix-array
+    substring" leg, literal form): find (small, big) pairs where
+    small's text occurs verbatim inside big's.
+
+    Spark-native physical strategy: candidates come from the df-capped
+    inverted 3-gram index (a substring's interior grams are a subset of
+    its container's, so any true pair shares a rare gram), then each
+    candidate is verified EXACTLY with JVM-side ``instr`` — for source-
+    file-sized documents a codegen'd scan beats building per-pair
+    suffix structures; a per-partition suffix array is the upgrade
+    path for multi-MB documents (noted, not needed at this payload).
+    The sketch-containment verifier in the flagship pipeline
+    (operators/verify.py) is the sampled production form of the same
+    rule; this operator is its exact referee.
+
+    De-vacuation: every 11th document plants a middle-60% slice of
+    itself (integer arithmetic, identical in both engines) so true
+    substring pairs exist at every sf."""
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 40)
+    )
+    base = d.select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+        F.expr(
+            "substring(text, (length(text)*2 div 10) + 1, length(text)*6 div 10)"
+        ).alias("text"),
+    )
+    aug = base.unionByName(planted).where(F.length("text") > 20)
+    toks = aug.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                        F.element_at("t", i + 3),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    dfc = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    kept = grams.join(dfc, "gram").where(F.col("df") <= _NGRAM_DF_CAP)
+    lens = aug.select("doc_id", F.length("text").alias("n"))
+    ga = kept.select(F.col("doc_id").alias("small_id"), "gram")
+    gb = kept.select(F.col("doc_id").alias("big_id"), "gram")
+    la = lens.select(F.col("doc_id").alias("small_id"), F.col("n").alias("small_len"))
+    lb = lens.select(F.col("doc_id").alias("big_id"), F.col("n").alias("big_len"))
+    cand = (
+        ga.join(gb, "gram")
+        .where(F.col("small_id") != F.col("big_id"))
+        .select("small_id", "big_id")
+        .distinct()
+        .join(la, "small_id")
+        .join(lb, "big_id")
+        .where(F.col("small_len") < F.col("big_len"))
+    )
+    ta = aug.select(F.col("doc_id").alias("small_id"), F.col("text").alias("text_a"))
+    tb = aug.select(F.col("doc_id").alias("big_id"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "small_id")
+        .join(tb, "big_id")
+        .where(F.instr(F.col("text_b"), F.col("text_a")) > 0)
+        .select(
+            "small_id",
+            "big_id",
+            F.col("small_len").cast("long").alias("small_len"),
+            F.col("big_len").cast("long").alias("big_len"),
+        )
+    )
+
+
+SQL_SUBSTRING_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 40
+), aug AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         substr(text, (length(text)*2 // 10) + 1, length(text)*6 // 10)
+  FROM base WHERE doc_id % 11 = 0
+), aug2 AS (
+  SELECT * FROM aug WHERE length(text) > 20
+), tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM aug2
+), ex AS (
+  SELECT doc_id,
+         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])) AS gram
+  FROM tk WHERE len(t) >= 3
+), dfc AS (
+  SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
+), kept AS (
+  SELECT e.doc_id, e.gram FROM ex e JOIN dfc d USING (gram)
+  WHERE d.df <= {_NGRAM_DF_CAP}
+), lens AS (
+  SELECT doc_id, length(text) AS n FROM aug2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS small_id, b.doc_id AS big_id
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+)
+SELECT c.small_id, c.big_id,
+       CAST(la.n AS BIGINT) AS small_len,
+       CAST(lb.n AS BIGINT) AS big_len
+FROM cand c
+JOIN lens la ON c.small_id = la.doc_id
+JOIN lens lb ON c.big_id = lb.doc_id
+JOIN aug2 sa ON c.small_id = sa.doc_id
+JOIN aug2 sb ON c.big_id = sb.doc_id
+WHERE la.n < lb.n AND strpos(sb.text, sa.text) > 0
+"""
+
+
 # H4 dispatch fixture: these langs key on normalized content, the rest raw
 _DISPATCH_LANGS = ("en", "de")
 
@@ -1172,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "substring_pairs": q_substring_pairs,
         "strict_resplit": q_strict_resplit,
         "dispatched_keys": q_dispatched_keys,
         "parsed_dates": q_parsed_dates,
@@ -1211,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "ppjoin_pairs": SQL_PPJOIN_PAIRS,
+        "substring_pairs": SQL_SUBSTRING_PAIRS,
         "strict_resplit": SQL_STRICT_RESPLIT,
         "dispatched_keys": _sql_dispatched_keys(),
         "parsed_dates": _sql_parsed_dates(),
