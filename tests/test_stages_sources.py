@@ -360,13 +360,20 @@ class TestMultimodal:
     def test_compressed_codec_gated(self, spark):
         from photo_dedup_spark.functions.multimodal import decode_image_features
 
-        # JPEG magic: no external codec available → per-row error, not a crash
+        # GIF magic: still no codec → per-row "external" error; a
+        # TRUNCATED JPEG now reaches the real decoder and yields its
+        # parse error — count-and-drop either way, never a crash
         media = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xe0rest"))], "media_id long, payload binary"
+            [
+                (1, bytearray(b"GIF89a rest")),
+                (2, bytearray(b"\xff\xd8\xff\xe0rest")),
+            ],
+            "media_id long, payload binary",
         )
-        rows = decode_image_features(media, fake=False).collect()
+        rows = decode_image_features(media, fake=False).orderBy("media_id").collect()
         assert rows[0].features is None
         assert "external" in rows[0].decode_error
+        assert rows[1].features is None and rows[1].decode_error
 
     @staticmethod
     def _ppm(f, w, h):
