@@ -489,6 +489,9 @@ FROM documents WHERE text IS NOT NULL
 # (source, gram) can never produce more than _NGRAM_DF_CAP² rows, so no
 # boilerplate gram turns the inverted index into a cartesian bomb
 _NGRAM_DF_CAP = 1000
+# secondary cap for substring-containment rescue grams (each doc's
+# lowest-df gram stays indexed up to this df — see q_substring_pairs)
+_RESCUE_DF_CAP = 20_000
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,6 +836,19 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/verify.py) is the sampled production form of the same
     rule; this operator is its exact referee.
 
+    Candidate completeness (ADVICE r3): the df cap alone can miss a
+    true pair whose shared grams are ALL high-df boilerplate, so each
+    document's single lowest-df gram (ties: lexicographically first)
+    is ALWAYS indexed — for itself and for every other document
+    containing it — up to a secondary cap ``_RESCUE_DF_CAP``.  Any
+    true (small ⊂ big) pair shares every gram of small, in particular
+    small's min-df gram, so the pair is proposed whenever that gram's
+    df ≤ _RESCUE_DF_CAP.  The one remaining (documented) recall bound:
+    a small doc whose LEAST-common gram still has df > _RESCUE_DF_CAP
+    — at that point the posting join would be quadratic in df, which
+    is the cartesian bomb the caps exist to prevent.  Oracle shares
+    the construction, so the parity gate checks the same semantics.
+
     De-vacuation: every 11th document plants a middle-60% slice of
     itself (integer arithmetic, identical in both engines) so true
     substring pairs exist at every sf."""
@@ -869,7 +885,24 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     dfc = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    kept = grams.join(dfc, "gram").where(F.col("df") <= _NGRAM_DF_CAP)
+    gd = grams.join(dfc, "gram")
+    # rescue grams: each doc's lowest-df gram, indexed for ALL docs
+    # containing it (see docstring) — map-side-combining min(struct)
+    rescue = (
+        gd.groupBy("doc_id")
+        .agg(F.min(F.struct("df", "gram")).alias("m"))
+        .select(F.col("m.gram").alias("gram"))
+        .distinct()
+        .withColumn("_rescued", F.lit(True))
+    )
+    kept = (
+        gd.join(rescue, "gram", "left")
+        .where(
+            (F.col("df") <= _NGRAM_DF_CAP)
+            | (F.col("_rescued").isNotNull() & (F.col("df") <= _RESCUE_DF_CAP))
+        )
+        .select("doc_id", "gram")
+    )
     lens = aug.select("doc_id", F.length("text").alias("n"))
     ga = kept.select(F.col("doc_id").alias("small_id"), "gram")
     gb = kept.select(F.col("doc_id").alias("big_id"), "gram")
@@ -920,9 +953,18 @@ WITH base AS (
   FROM tk WHERE len(t) >= 3
 ), dfc AS (
   SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram
+), gd AS (
+  SELECT e.doc_id, e.gram, d.df FROM ex e JOIN dfc d USING (gram)
+), rescue AS (
+  SELECT DISTINCT gram FROM (
+    SELECT gram, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, gram) AS rn
+    FROM gd
+  ) WHERE rn = 1
 ), kept AS (
-  SELECT e.doc_id, e.gram FROM ex e JOIN dfc d USING (gram)
-  WHERE d.df <= {_NGRAM_DF_CAP}
+  SELECT gd.doc_id, gd.gram FROM gd
+  LEFT JOIN rescue r USING (gram)
+  WHERE gd.df <= {_NGRAM_DF_CAP}
+     OR (r.gram IS NOT NULL AND gd.df <= {_RESCUE_DF_CAP})
 ), lens AS (
   SELECT doc_id, length(text) AS n FROM aug2
 ), cand AS (
@@ -1158,14 +1200,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arrays are collapsed to sha256 digests of their CSV rendering
     (the digest still pins the exact signature values)."""
     from photo_dedup_spark.functions.normalize import normalize_col
-    from photo_dedup_spark.functions.signatures import make_signature_udfs
+    from photo_dedup_spark.functions.signatures import make_minhash_simhash_udf
 
-    minhash_udf, simhash_udf, _ = make_signature_udfs(ENTRY_CONFIG)
+    # single-pass struct UDF (VERDICT r3 #6): one shingling and ONE
+    # Arrow transfer of normalized content, matching q_lsh_candidates
+    sign_udf = make_minhash_simhash_udf(ENTRY_CONFIG)
     d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
     sigs = d.select(
+        "doc_id", sign_udf(normalize_col(F.col("text"))).alias("sig")
+    ).select(
         "doc_id",
-        minhash_udf(normalize_col(F.col("text"))).alias("minhash"),
-        simhash_udf(normalize_col(F.col("text"))).alias("simhash"),
+        F.col("sig.minhash").alias("minhash"),
+        F.col("sig.simhash").alias("simhash"),
     )
 
     def _digest(col: str):
@@ -1225,15 +1271,44 @@ def q_action_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_plan(plan)
 
 
+# Tiny valid baseline JPEG (16×16 gray) with an EXIF APP1 whose
+# DateTimeOriginal ASCII sits at byte offset _EXIF_DT_OFF — q_media_
+# features patches a per-row datetime into it so the EXIF extraction
+# chain (jpeg.exif_datetime → F5 parse) is exercised with DISTINCT
+# values per row.  Synthesized by tests/test_jpeg.py's own encoder;
+# EXIF layout per the reference's priority contract (metadata.py:83-89).
+_EXIF_JPEG = bytes.fromhex(
+    "ffd8ffe1004845786966000049492a0008000000010069870400010000001a0000000000"
+    "0000010003900200140000002c00000000000000323030303a30313a30312030303a3030"
+    "3a303000ffdb004300080a0a0c0c0c0e0e0e0e101010101012121212121214141414141414"
+    "1616161616161616181818181818181a1a1a1a1a1a1c1c1c1c1c1e1e1e1e202020222224"
+    "ffc0000b080010001001011100ffc4001f000000000c0000000000000000000000000001"
+    "02030405060708090a0bffc400b51000000000000000a2000000000000000000f0010203"
+    "0405060708090a1112131415161718191a2122232425262728292a313233343536373839"
+    "3a4142434445464748494a5152535455565758595a6162636465666768696a7172737475"
+    "767778797a8182838485868788898a9192939495969798999aa1a2a3a4a5a6a7a8a9aab1"
+    "b2b3b4b5b6b7b8b9bac1c2c3c4c5c6c7c8c9cad1d2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7"
+    "e8e9eaf1f2f3f4f5f6f7f8f9faffda0008010100003f00604110308fd66002e0110308fd"
+    "66003d904c0a60a20a41a07d82c02b82b86e190d03b0250301186c1a860360d437028103"
+    "2180c8103218200640869005401e0f103b60803a8103ec3a81e08837020680881082603"
+    "8370380d0c8ba0601e1a0101181c1b01408180340e0dc080601432040286c1816807fffd9"
+)
+_EXIF_DT_OFF = 56  # offset of the 19-byte "YYYY:MM:DD HH:MM:SS" ASCII
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns (training-data mandate): REAL netpbm decode +
     the reference's dHash over binary payloads synthesized
-    deterministically from doc_id.  Rows-only: binary codec work is not
+    deterministically from doc_id; every 7th row instead carries a real
+    baseline JPEG with a per-row EXIF DateTimeOriginal, exercising the
+    APP1/TIFF extraction + F5 multi-format parse (reference
+    metadata.py:63-121).  Rows-only: binary codec work is not
     SQL-expressible; features are surfaced as a sha256 digest so every
     column stays driver-hashable."""
     import numpy as np
     import pandas as pd
 
+    from photo_dedup_spark.functions.dates import parse_datetime_multi
     from photo_dedup_spark.functions.multimodal import decode_image_features
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -1243,11 +1318,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                w, h = 40 + did % 32, 30 + did % 24
-                ys, xs = np.mgrid[0:h, 0:w]
-                px = ((xs * 7 + ys * 13 + did) % 251).astype(np.uint8)
-                rgb = np.repeat(px[:, :, None], 3, axis=2)
-                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes())
+                if did % 7 == 0:
+                    dt = "20%02d:%02d:%02d %02d:%02d:%02d" % (
+                        did % 30,
+                        1 + did % 12,
+                        1 + did % 28,
+                        did % 24,
+                        did % 60,
+                        (did * 7) % 60,
+                    )
+                    payloads.append(
+                        _EXIF_JPEG[:_EXIF_DT_OFF]
+                        + dt.encode("ascii")
+                        + _EXIF_JPEG[_EXIF_DT_OFF + 19 :]
+                    )
+                else:
+                    w, h = 40 + did % 32, 30 + did % 24
+                    ys, xs = np.mgrid[0:h, 0:w]
+                    px = ((xs * 7 + ys * 13 + did) % 251).astype(np.uint8)
+                    rgb = np.repeat(px[:, :, None], 3, axis=2)
+                    payloads.append(b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes())
                 ids.append(did)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -1262,6 +1352,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))),
             256,
         ).alias("dhash_digest"),
+        "exif_datetime",
+        parse_datetime_multi(F.col("exif_datetime"))
+        .cast("string")
+        .alias("exif_ts"),
         "decode_error",
     )
 

@@ -15,10 +15,13 @@ substitution for the north rule's N vs 4N executor criterion
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -55,6 +58,21 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     n_files = (
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     )
+    # The flagship is measured WARM (cold recorded alongside): the very
+    # first pipeline run in a fresh JVM pays ~15-40 s of one-time
+    # JIT/codegen across ~15 query stages — serial cost a long-lived
+    # cluster executor amortizes away, and the cost that made
+    # BENCH_r03's recorded headline a 2.4× outlier vs the same night's
+    # warm runs.  Same warm-measurement rule as the scaling protocol
+    # (BENCH/SCALING.md); both numbers are published.
+    t0 = time.monotonic()
+    n = qmap["near_dup_clusters"](spark, sf_dir).count()
+    cold_flagship = round(time.monotonic() - t0, 3)
+    print(
+        f"  near_dup_clusters (cold, excluded): {cold_flagship}s ({n} rows)",
+        file=sys.stderr,
+    )
+    _drop_cached_blocks(spark)
     t_all = time.monotonic()
     for name in headline:
         t0 = time.monotonic()
@@ -66,13 +84,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     pipeline_s = timings["near_dup_clusters"]
     result = {
-        "metric": "headline query wall time (flagship near-dup pipeline + operator queries)",
+        "metric": (
+            "headline query wall time (flagship near-dup pipeline + operator"
+            " queries; flagship warm — cold JVM first run in"
+            " near_dup_clusters_cold_s)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "docs": n_files,
+        "near_dup_clusters_cold_s": cold_flagship,
         "pipeline_files_per_sec": round(n_files / pipeline_s, 1) if pipeline_s else None,
     }
     spark.stop()
@@ -181,6 +204,226 @@ def run_scaling(sf_dir: str) -> None:
     print(json.dumps({"scaling_efficiency": round(eff, 3), "wall_8": w8, "wall_32": w32}))
 
 
+def _drop_cached_blocks(spark) -> None:
+    # localCheckpoint blocks from a finished run otherwise pile up and
+    # squeeze later runs into GC churn — release them so every timed
+    # run sees the same memory state
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark.catalog.clearCache()
+
+
+def run_leg_server(cpus: int) -> None:
+    """Persistent warm-JVM leg for the paired-interleave scaling
+    protocol (--scaling-paired).
+
+    Warms up (1 cold + N warm runs), then executes exactly one
+    flagship-pipeline run per ``go_<cpus>_<i>`` token the orchestrator
+    drops into $SPARK_GRAFT_CTRL_DIR, writing ``res_<cpus>_<i>.json``
+    per run.  Keeping the JVM alive across the whole paired series is
+    what lets runs of the two legs interleave in TIME while each leg
+    stays at its JIT steady state — the round-3 protocol ran the legs
+    sequentially (hours apart), so hours-scale host-noise regimes hit
+    one leg and not the other (BENCH/SCALING.md r3 forensics).
+
+    A ``go`` file containing ``traced`` runs one diagnostic pass with
+    eager checkpoints + per-stage wall marks (excluded from the
+    headline series; feeds the per-stage 8-vs-32 table)."""
+    ctrl = os.environ["SPARK_GRAFT_CTRL_DIR"]
+    corpus = os.environ["SPARK_GRAFT_BENCH_CORPUS"]
+    warmups = int(os.environ.get("SPARK_GRAFT_LEG_WARMUPS", "3"))
+    from photo_dedup_spark.session import build_session
+    from photo_dedup_spark.pipeline import run_pipeline
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(app_name=f"scale-leg-{cpus}")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(corpus).count()
+
+    def one_run() -> tuple[float, int]:
+        t0 = time.monotonic()
+        res = run_pipeline(
+            spark,
+            spark.read.parquet(corpus),
+            entry_mod.ENTRY_CONFIG,
+            mode="hybrid",
+            collect_metrics=False,
+        )
+        n = res.assignments.count()
+        return round(time.monotonic() - t0, 3), n
+
+    cold, _ = one_run()
+    warm = []
+    for _ in range(warmups):
+        _drop_cached_blocks(spark)
+        w, _ = one_run()
+        warm.append(w)
+    with open(os.path.join(ctrl, f"ready_{cpus}.json"), "w") as f:
+        json.dump({"cold_wall_s": cold, "warmup_walls_s": warm, "docs": docs}, f)
+
+    i = 0
+    stop = os.path.join(ctrl, "stop")
+    while True:
+        go = os.path.join(ctrl, f"go_{cpus}_{i}")
+        while not os.path.exists(go):
+            if os.path.exists(stop):
+                spark.stop()
+                return
+            time.sleep(0.5)
+        with open(go) as f:
+            mode = f.read().strip() or "normal"
+        _drop_cached_blocks(spark)
+        if mode == "traced":
+            os.environ["SPARK_GRAFT_STAGE_TIMING"] = "1"
+            buf = io.StringIO()
+            try:
+                # _mark prints from the driver's Python side — JVM fd-2
+                # chatter bypasses this redirect and is simply not parsed
+                with contextlib.redirect_stderr(buf):
+                    w, n = one_run()
+            finally:
+                os.environ.pop("SPARK_GRAFT_STAGE_TIMING", None)
+            stages: dict[str, float] = {}
+            for line in buf.getvalue().splitlines():
+                if line.startswith("[stage-timing]"):
+                    k, _, v = line[len("[stage-timing]"):].partition(":")
+                    stages[k.strip()] = float(v.strip().rstrip("s"))
+            out = {"wall_s": w, "rows": n, "stages": stages}
+        else:
+            w, n = one_run()
+            out = {"wall_s": w, "rows": n}
+        tmp = os.path.join(ctrl, f".res_{cpus}_{i}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, os.path.join(ctrl, f"res_{cpus}_{i}.json"))
+        i += 1
+
+
+def run_scaling_paired(sf_dir: str) -> None:
+    """Paired-interleave scaling protocol (pre-registered, round 4).
+
+    Round 3's sequential legs confounded hours-scale host-noise regimes
+    with the parallelism effect (one leg measured at night, one during a
+    noisy window ⇒ median efficiency 0.531 vs noise-floor 0.816).  This
+    protocol removes the confound structurally instead of arguing about
+    estimators:
+
+      * both legs live in persistent warm JVMs (local[8] pinned to
+        cores 0-7 via taskset, local[32] on all cores);
+      * measured runs strictly ALTERNATE between the legs (never
+        concurrent), in ABBA order across pairs so linear drift cancels
+        within as well as across pairs;
+      * pair i yields efficiency_i = (T8_i / T32_i) / 4 from two runs
+        minutes apart — any noise regime lasting longer than one pair
+        hits both legs of that pair equally;
+      * the HEADLINE (pre-registered before measurement) is the MEDIAN
+        of the per-pair efficiencies over all pairs.
+
+    One extra traced run per leg (eager checkpoints + stage marks)
+    feeds a per-stage 8-vs-32 wall table; it is excluded from the
+    headline series.  Corpus generation runs in a subprocess so no
+    idle py4j JVM lingers through the measured legs."""
+    n_bases = int(os.environ.get("SPARK_GRAFT_BENCH_BASES", "360000"))
+    corpus_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+    n_pairs = int(os.environ.get("SPARK_GRAFT_PAIRS", "6"))
+    corpus_path = os.path.join(corpus_dir, f"bench_corpus_{n_bases}_18")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        gen = (
+            "from photo_dedup_spark.session import build_session;"
+            "from photo_dedup_spark.benchcorpus import materialize_bench_corpus;"
+            "s = build_session(app_name='bench-corpus-gen');"
+            f"materialize_bench_corpus(s, {n_bases}, {corpus_dir!r});"
+            "s.stop()"
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True)
+
+    ctrl = tempfile.mkdtemp(prefix="scaling_ctrl_")
+    print(f"control dir: {ctrl}", file=sys.stderr)
+    base_env = {
+        **os.environ,
+        "SPARK_GRAFT_CTRL_DIR": ctrl,
+        "SPARK_GRAFT_BENCH_CORPUS": corpus_path,
+    }
+    procs: dict[int, subprocess.Popen] = {}
+    for cpus in (8, 32):
+        cmd = [sys.executable, os.path.abspath(__file__), "--leg-server"]
+        if os.path.exists("/usr/bin/taskset"):
+            # pin the WHOLE process tree (JVM + python workers): plain
+            # local[8] on a 32-core box lets GC/shuffle/Arrow threads
+            # spill onto the other 24 cores and understates scaling
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+        log = open(os.path.join(ctrl, f"leg_{cpus}.log"), "w")
+        procs[cpus] = subprocess.Popen(
+            cmd,
+            env={**base_env, "SPARK_GRAFT_CPUS": str(cpus)},
+            stdout=log,
+            stderr=log,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+
+    def _wait_for(path: str, cpus: int) -> dict:
+        while not os.path.exists(path):
+            if procs[cpus].poll() is not None:
+                raise RuntimeError(
+                    f"leg {cpus} died; see {ctrl}/leg_{cpus}.log"
+                )
+            time.sleep(1.0)
+        with open(path) as f:
+            return json.load(f)
+
+    ready = {c: _wait_for(os.path.join(ctrl, f"ready_{c}.json"), c) for c in (8, 32)}
+    print(f"legs warm: {ready}", file=sys.stderr)
+
+    def one(cpus: int, i: int, mode: str = "normal") -> dict:
+        with open(os.path.join(ctrl, f"go_{cpus}_{i}"), "w") as f:
+            f.write(mode)
+        return _wait_for(os.path.join(ctrl, f"res_{cpus}_{i}.json"), cpus)
+
+    series: dict[int, list[float]] = {8: [], 32: []}
+    pair_eff: list[float] = []
+    for i in range(n_pairs):
+        order = (8, 32) if i % 2 == 0 else (32, 8)  # ABBA
+        walls = {}
+        for cpus in order:
+            walls[cpus] = one(cpus, i)["wall_s"]
+            series[cpus].append(walls[cpus])
+        pair_eff.append(round((walls[8] / walls[32]) / 4, 3))
+        print(
+            f"pair {i} ({order[0]} first): T8={walls[8]} T32={walls[32]}"
+            f" eff={pair_eff[-1]}",
+            file=sys.stderr,
+        )
+    traced = {c: one(c, n_pairs, "traced") for c in (8, 32)}
+    with open(os.path.join(ctrl, "stop"), "w") as f:
+        f.write("done")
+    for p in procs.values():
+        p.wait(timeout=120)
+
+    eff_sorted = sorted(pair_eff)
+    n = len(eff_sorted)
+    median_eff = (
+        eff_sorted[n // 2]
+        if n % 2
+        else (eff_sorted[n // 2 - 1] + eff_sorted[n // 2]) / 2
+    )
+    docs = ready[32]["docs"]
+    raw = {
+        "protocol": "paired-interleave ABBA, median of per-pair efficiencies",
+        "pairs": n_pairs,
+        "pair_efficiencies": pair_eff,
+        "median_efficiency": round(median_eff, 3),
+        "series": series,
+        "ready": ready,
+        "traced": traced,
+        "docs": docs,
+        "corpus": corpus_path,
+    }
+    with open("BENCH/scaling_paired_raw.json", "w") as f:
+        json.dump(raw, f, indent=2)
+    print(json.dumps({"scaling_efficiency": round(median_eff, 3), "pair_efficiencies": pair_eff}))
+
+
 def run_single_pipeline(sf_dir: str, cpus: int) -> None:
     """One flagship-pipeline run (used by --scaling subprocesses).
 
@@ -211,15 +454,6 @@ def run_single_pipeline(sf_dir: str, cpus: int) -> None:
             n = entry_mod.queries()["near_dup_clusters"](spark, sf_dir).count()
         return round(time.monotonic() - t0, 3), n, docs
 
-    def _drop_cached_blocks():
-        # localCheckpoint blocks from a finished run otherwise pile up
-        # and squeeze later runs into GC churn — release them so every
-        # timed run sees the same memory state
-        jsc = spark.sparkContext._jsc
-        for rdd in jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        spark.catalog.clearCache()
-
     # Plateau-median protocol (VERDICT r2: best-of-three was a
     # favorable draw — local[32] was still descending at cutoff).
     # A fresh local JVM spends minutes in C2/codegen compilation spread
@@ -241,7 +475,7 @@ def run_single_pipeline(sf_dir: str, cpus: int) -> None:
     cold_wall, _, _ = one_run()
     plateau_walls = []
     for _ in range(max_warmup):
-        _drop_cached_blocks()
+        _drop_cached_blocks(spark)
         w, _, _ = one_run()
         plateau_walls.append(w)
         if (
@@ -253,7 +487,7 @@ def run_single_pipeline(sf_dir: str, cpus: int) -> None:
     walls = []
     n = 0
     for _ in range(int(os.environ.get("SPARK_GRAFT_MEASURED_RUNS", "5"))):
-        _drop_cached_blocks()
+        _drop_cached_blocks(spark)
         w, n, _ = one_run()
         walls.append(w)
     spark.stop()
@@ -276,7 +510,11 @@ def run_single_pipeline(sf_dir: str, cpus: int) -> None:
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-paired" in sys.argv:
+        run_scaling_paired(sf_dir)
+    elif "--leg-server" in sys.argv:
+        run_leg_server(cpus)
+    elif "--scaling" in sys.argv:
         run_scaling(sf_dir)
     elif "--single-pipeline" in sys.argv:
         run_single_pipeline(sf_dir, cpus)

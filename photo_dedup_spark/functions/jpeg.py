@@ -105,6 +105,11 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            # the module contract is typed ValueError on malformed input
+            # (ADVICE r3) — a bare IndexError here would escape as an
+            # internal error instead of a decode error
+            raise ValueError("truncated JPEG entropy data")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
@@ -339,3 +344,101 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     px = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
     return w, h, 3, px
+
+
+# ---------------------------------------------------------------------------
+# EXIF datetime extraction (reference metadata.py:63-90)
+# ---------------------------------------------------------------------------
+# The reference reads the capture date from the image's EXIF block with
+# strict priority DateTimeOriginal (36867) -> DateTimeDigitized (36868)
+# before falling back to mtime (metadata.py:96-121).  We walk the APP1
+# "Exif\0\0" segment's TIFF structure directly (both byte orders):
+# IFD0 -> ExifIFD pointer (0x8769) -> ASCII tags.  Any malformed EXIF
+# yields None, never an error — the reference logs and continues
+# (metadata.py:91-93); EXIF damage must not fail an otherwise
+# decodable image.
+
+_EXIF_DT_ORIGINAL = 0x9003   # 36867 DateTimeOriginal
+_EXIF_DT_DIGITIZED = 0x9004  # 36868 DateTimeDigitized
+_EXIF_IFD_PTR = 0x8769
+
+
+def _find_app1_exif(data: bytes) -> bytes | None:
+    """Return the TIFF payload of the first APP1 Exif segment, or None.
+    Same marker walk as :func:`decode_jpeg`, stopping at SOS."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 before image data
+            return None
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        body = data[i + 4 : i + 2 + seglen]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return body[6:]
+        i += 2 + seglen
+    return None
+
+
+def _ifd_entries(tiff: bytes, bo: str, off: int) -> list[tuple[int, int, int, bytes]]:
+    """(tag, type, count, raw 4-byte value field) entries of the IFD at
+    *off* (offsets are relative to the TIFF header start, per spec)."""
+    (n,) = struct.unpack_from(bo + "H", tiff, off)
+    out = []
+    for k in range(n):
+        base = off + 2 + 12 * k
+        tag, typ = struct.unpack_from(bo + "HH", tiff, base)
+        (cnt,) = struct.unpack_from(bo + "I", tiff, base + 4)
+        out.append((tag, typ, cnt, tiff[base + 8 : base + 12]))
+    return out
+
+
+def _ascii_value(tiff: bytes, bo: str, typ: int, cnt: int, raw: bytes) -> str | None:
+    if typ != 2:  # ASCII
+        return None
+    if cnt <= 4:
+        val = raw[:cnt]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        val = tiff[off : off + cnt]
+    return val.split(b"\x00", 1)[0].decode("ascii", errors="replace")
+
+
+def exif_datetime(data: bytes) -> str | None:
+    """Raw EXIF datetime string ("YYYY:MM:DD HH:MM:SS") with the
+    reference's priority DateTimeOriginal -> DateTimeDigitized
+    (metadata.py:83-89), or None.  Never raises."""
+    try:
+        tiff = _find_app1_exif(data)
+        if tiff is None:
+            return None
+        bo = {b"II": "<", b"MM": ">"}.get(tiff[:2])
+        if bo is None or struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+            return None
+        (ifd0_off,) = struct.unpack_from(bo + "I", tiff, 4)
+        ifd0 = _ifd_entries(tiff, bo, ifd0_off)
+        entries = list(ifd0)
+        for tag, typ, cnt, raw in ifd0:
+            if tag == _EXIF_IFD_PTR:
+                (exif_off,) = struct.unpack(bo + "I", raw)
+                # ExifIFD first: the datetime tags canonically live there
+                entries = _ifd_entries(tiff, bo, exif_off) + entries
+                break
+        for want in (_EXIF_DT_ORIGINAL, _EXIF_DT_DIGITIZED):
+            for tag, typ, cnt, raw in entries:
+                if tag == want:
+                    v = _ascii_value(tiff, bo, typ, cnt, raw)
+                    if v and v.strip():
+                        return v
+        return None
+    except Exception:
+        return None  # malformed EXIF: log-and-continue contract

@@ -262,6 +262,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        # raw EXIF capture datetime (JPEG APP1, priority
+        # DateTimeOriginal → DateTimeDigitized, metadata.py:83-89);
+        # NULL for formats without EXIF.  Parsed downstream by the F5
+        # chain (functions/dates.parse_datetime_multi — the
+        # "2021:03:04"-style EXIF format is its first pattern)
+        T.StructField("exif_datetime", T.StringType()),
         T.StructField("decode_error", T.StringType()),
     ]
 )
@@ -302,10 +308,12 @@ def decode_image_features(
                 "height": [],
                 "channels": [],
                 "features": [],
+                "exif_datetime": [],
                 "decode_error": [],
             }
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 out["media_id"].append(mid)
+                exif_dt = None
                 try:
                     if payload is None:
                         raise ValueError("null payload")
@@ -320,9 +328,19 @@ def decode_image_features(
                         feats = dhash64(px)
                     elif data[:2] == b"\xff\xd8":
                         # REAL baseline-JPEG decode (pure numpy Huffman+IDCT)
-                        from photo_dedup_spark.functions.jpeg import decode_jpeg
+                        from photo_dedup_spark.functions.jpeg import (
+                            decode_jpeg,
+                            exif_datetime,
+                        )
 
+                        exif_dt = exif_datetime(data)  # never raises
                         w, h, c, px = decode_jpeg(data)
+                        feats = dhash64(px)
+                    elif data[:6] in (b"GIF87a", b"GIF89a"):
+                        # REAL GIF decode (pure-python LZW, frame 0)
+                        from photo_dedup_spark.functions.gif import decode_gif
+
+                        w, h, c, px = decode_gif(data)
                         feats = dhash64(px)
                     elif fake:
                         w, h, c, feats = _fake_decode(data)
@@ -338,12 +356,22 @@ def decode_image_features(
                     out["features"].append(
                         np.asarray(feats, dtype=np.float32).tolist()
                     )
+                    out["exif_datetime"].append(exif_dt)
                     out["decode_error"].append(None)
-                except (NotImplementedError, ValueError, TypeError) as e:
+                except Exception as e:  # noqa: BLE001 — count-and-drop contract
+                    # Malformed payloads surface arbitrary internal errors
+                    # (IndexError from a truncated JPEG entropy stream,
+                    # struct.error from a short SOF/IHDR, zlib.error from
+                    # corrupt IDAT) — ANY decode failure must become a
+                    # per-row decode_error, never a task crash, mirroring
+                    # the reference's broad catch (hasher.py:148).
+                    # KeyboardInterrupt/SystemExit derive from
+                    # BaseException and still propagate.
                     out["width"].append(None)
                     out["height"].append(None)
                     out["channels"].append(None)
                     out["features"].append(None)
+                    out["exif_datetime"].append(exif_dt)
                     out["decode_error"].append(str(e))
             yield pd.DataFrame(out)
 
@@ -382,7 +410,9 @@ def decode_audio_features(
                     rate, n, ch, samples = decode_wav(bytes(payload))
                     feats = audio_energy_features(samples).tolist()
                     rows.append((mid, rate, n, ch, feats, None))
-                except (NotImplementedError, ValueError, TypeError) as e:
+                except Exception as e:  # noqa: BLE001 — count-and-drop contract
+                    # e.g. struct.error from a short fmt chunk — same
+                    # broad-catch rationale as the image path above
                     rows.append((mid, None, None, None, None, str(e)))
             yield pd.DataFrame(
                 rows,

