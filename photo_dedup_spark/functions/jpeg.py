@@ -16,9 +16,14 @@ sequential-DCT JPEG natively — stdlib ``struct`` + numpy only:
   * chroma upsampling for any (h,v) sampling factors (4:4:4, 4:2:0,
     4:2:2, ...) by pixel repetition; BT.601 YCbCr→RGB.
 
+Progressive (SOF2) decodes too (round 4): per-scan coefficient
+accumulation across DC-first/DC-refinement/AC-band/AC-refinement
+scans (T.81 G.2, incl. EOB runs and successive-approximation
+correction bits), then the same shared IDCT reconstruction.
+
 Unsupported (raise ValueError → the per-row ``decode_error``
 count-and-drop contract in multimodal.decode_image_features):
-progressive (SOF2) and arithmetic-coded JPEGs, 12-bit precision,
+lossless (SOF3) and arithmetic-coded JPEGs, 12-bit precision,
 component counts other than 1 or 3.
 
 Scale note: the bit-serial Huffman walk is interpreter-bound (~the
@@ -178,6 +183,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     frame = None
     restart_interval = 0
+    progressive = False
+    prog: dict | None = None  # stores/geometry once the first SOS arrives
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -212,7 +219,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 n = sum(bits)
                 huff[(tc, th)] = _HuffTable(bits, body[j + 17 : j + 17 + n])
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -223,22 +231,269 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("unsupported JPEG mode (progressive/arithmetic)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported JPEG mode (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tables = {}
+            if not progressive:
+                scan_tables = {}
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    scan_tables[cs] = (tt >> 4, tt & 0xF)
+                return _decode_scan(
+                    data, i, frame, qt, huff, scan_tables, restart_interval
+                )
+            # progressive: accumulate this scan's coefficients and keep
+            # walking markers (DHT may precede each scan)
+            scan_comps = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                data, i, frame, qt, huff, scan_tables, restart_interval
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if prog is None:
+                prog = _init_prog_stores(frame)
+            i = _decode_prog_scan(
+                data,
+                i,
+                frame,
+                prog,
+                huff,
+                scan_comps,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0xF,
+                restart_interval,
             )
+    if progressive and prog is not None and prog["scans"] > 0:
+        w, h, comps = frame
+        return _reconstruct(
+            w, h, comps, qt, prog["stores"], prog["mcux"], prog["mcuy"]
+        )
     raise ValueError("no SOS marker (truncated JPEG)")
+
+
+def _init_prog_stores(frame) -> dict:
+    """Per-component full-image coefficient stores for progressive
+    decode (filled across scans, reconstructed at EOI)."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    stores = [
+        np.zeros(((mcux * c["h"]) * (mcuy * c["v"]), 64), dtype=np.int32)
+        for c in comps
+    ]
+    return {"stores": stores, "mcux": mcux, "mcuy": mcuy, "scans": 0}
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    prog: dict,
+    huff: dict,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan (T.81 G.2) into ``prog['stores']``;
+    returns the offset of the next marker after the entropy data.
+
+    Covers all four scan kinds: DC first (diff-coded, << Al), DC
+    refinement (one bit per block), AC first (run/size with EOB runs,
+    << Al), and AC refinement (correction bits, G.1.2.3).  DC scans may
+    be interleaved; AC scans are single-component by spec."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = prog["mcux"], prog["mcuy"]
+    stores = prog["stores"]
+    by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+
+    if not 0 <= al <= 13 or se > 63 or ss > se:
+        raise ValueError("bad progressive scan parameters")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan must have Se=0")
+
+    p1 = 1 << al
+
+    def _refine_nonzero(blk: np.ndarray, k: int, upto: int) -> None:
+        """Correction bits for already-nonzero coeffs in blk[k..upto]."""
+        for kk in range(k, upto + 1):
+            v = int(blk[kk])
+            if v != 0 and reader.read_bit():
+                if v > 0:
+                    if not v & p1:
+                        blk[kk] = v + p1
+                else:
+                    if not (-v) & p1:
+                        blk[kk] = v - p1
+
+    state = {"eobrun": 0}
+
+    def _ac_first(blk: np.ndarray) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_tab = huff[(1, scan_comps[0][2])]
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def _ac_refine(blk: np.ndarray) -> None:
+        if state["eobrun"] > 0:
+            _refine_nonzero(blk, ss, se)
+            state["eobrun"] -= 1
+            return
+        ac_tab = huff[(1, scan_comps[0][2])]
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:  # EOBn: refine the rest of the band, run on
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    _refine_nonzero(blk, k, se)
+                    return
+                newval = 0  # ZRL in refinement: skip 16 zero-history slots
+            elif s == 1:
+                newval = p1 if reader.read_bit() else -p1
+            else:
+                raise ValueError("bad refinement size")
+            # advance over r zero-history coeffs, emitting correction
+            # bits for nonzero-history ones passed along the way
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit():
+                        if v > 0:
+                            if not v & p1:
+                                blk[k] = v + p1
+                        else:
+                            if not (-v) & p1:
+                                blk[k] = v - p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+
+    if is_dc:
+        # DC scans iterate the full MCU grid (interleaved when ns>1)
+        members = []
+        for cs, td, _ta in scan_comps:
+            if cs not in by_id:
+                raise ValueError(f"unknown scan component {cs}")
+            ci, c = by_id[cs]
+            if ah == 0 and (0, td) not in huff:
+                raise ValueError("missing Huffman table")
+            members.append((ci, c, td))
+        pred = [0] * len(members)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    reader.align_and_expect_rst()
+                    pred = [0] * len(members)
+                for mi, (ci, c, td) in enumerate(members):
+                    wblocks = mcux * c["h"]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * wblocks + (mx * c["h"] + bx)
+                            blk = stores[ci][bi]
+                            if ah == 0:
+                                s = reader.decode_huff(huff[(0, td)])
+                                if s > 11:
+                                    raise ValueError("bad DC category")
+                                diff = (
+                                    _extend(reader.receive(s), s) if s else 0
+                                )
+                                pred[mi] += diff
+                                blk[0] = pred[mi] << al
+                            else:  # refinement: one appended bit
+                                if reader.read_bit():
+                                    blk[0] = int(blk[0]) | p1
+                mcu_count += 1
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        cs, _td, ta = scan_comps[0]
+        if cs not in by_id:
+            raise ValueError(f"unknown scan component {cs}")
+        ci, c = by_id[cs]
+        if (1, ta) not in huff:
+            raise ValueError("missing Huffman table")
+        # non-interleaved block grid: the component's true extent
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        stride = mcux * c["h"]
+        mcu_count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    reader.align_and_expect_rst()
+                    state["eobrun"] = 0
+                blk = stores[ci][by * stride + bx]
+                if ah == 0:
+                    _ac_first(blk)
+                else:
+                    _ac_refine(blk)
+                mcu_count += 1
+
+    prog["scans"] += 1
+    # skip to the next true marker (not stuffing, not RSTn)
+    end = reader.pos
+    while end + 1 < len(data):
+        if (
+            data[end] == 0xFF
+            and data[end + 1] != 0x00
+            and not 0xD0 <= data[end + 1] <= 0xD7
+        ):
+            break
+        end += 1
+    return end
 
 
 def _decode_scan(
@@ -311,6 +566,16 @@ def _decode_scan(
                         stores[ci][bi] = zz
             mcu_count += 1
 
+    return _reconstruct(w, h, comps, qt, stores, mcux, mcuy)
+
+
+def _reconstruct(
+    w: int, h: int, comps, qt: dict, stores, mcux: int, mcuy: int
+) -> tuple[int, int, int, np.ndarray]:
+    """Shared tail of baseline and progressive decode: dequantize →
+    un-zigzag → batched IDCT → upsample → color convert."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]

@@ -17,15 +17,20 @@ Codec support is tiered, honestly:
         gray/RGB/palette/alpha, all five scanline filters) — the
         compressed format the reference actually reads via PIL,
         decoded natively and fed to the same dHash;
-      - baseline JPEG (SOF0: file-supplied Huffman/quant tables,
-        restart markers, any chroma subsampling — functions/jpeg.py)
-        — the dominant photo codec, decoded natively to the same dHash;
+      - baseline AND progressive JPEG (SOF0/SOF2: file-supplied
+        Huffman/quant tables, restart markers, any chroma subsampling,
+        multi-scan successive approximation — functions/jpeg.py) — the
+        dominant photo codec, decoded natively to the same dHash, with
+        EXIF capture datetime extracted from APP1 (metadata.py:63-90);
+      - GIF 87a/89a (pure-python variable-width LZW, interlace, local
+        color tables — functions/gif.py), first frame like PIL's
+        default open;
       - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
         = per-block RMS energy profile.
-  * GATED: remaining compressed codecs (progressive JPEG/MP3/H.264) need libraries
-    this container doesn't ship — those payloads raise a per-row decode
-    error (carried as DATA, the count-and-drop contract), or use the
-    deterministic ``fake=True`` decoder in tests.
+  * GATED: remaining compressed codecs (WEBP/HEIC/MP3/H.264) need
+    libraries this container doesn't ship — those payloads raise a
+    per-row decode error (carried as DATA, the count-and-drop
+    contract), or use the deterministic ``fake=True`` decoder in tests.
 
 Operators:
   * decode_image_features — decode → (width, height, channels) +

@@ -286,13 +286,17 @@ class TestJpegRoundTrip:
         d2 = dhash64(px2)
         assert int((d1 != d2).sum()) <= 6
 
-    def test_rejects_progressive(self):
+    def test_rejects_lossless_and_arithmetic(self):
+        # SOF2 progressive graduated to a real decode path in round 4
+        # (TestProgressiveJpeg below); SOF3 lossless and SOF9+
+        # arithmetic remain typed errors
         img = _gradient(16, 16)
-        data = bytearray(encode_jpeg(img))
-        i = data.index(b"\xff\xc0")
-        data[i + 1] = 0xC2  # flip SOF0 -> SOF2
-        with pytest.raises(ValueError, match="progressive"):
-            decode_jpeg(bytes(data))
+        for sof in (0xC3, 0xC9):
+            data = bytearray(encode_jpeg(img))
+            i = data.index(b"\xff\xc0")
+            data[i + 1] = sof
+            with pytest.raises(ValueError, match="unsupported JPEG mode"):
+                decode_jpeg(bytes(data))
 
     def test_rejects_truncation_and_garbage(self):
         with pytest.raises(ValueError):
@@ -467,3 +471,210 @@ class TestExifDatetime:
         assert str(out[0].exif_ts) == "2021-03-04 10:11:12"
         assert out[1].exif_datetime is None and out[1].exif_ts is None
         assert out[0].decode_error is None
+
+
+# --- progressive (SOF2) fixtures -------------------------------------------
+
+
+def _quant_zz_planes(pixels: np.ndarray):
+    """Per-component quantized zigzag blocks (1×1 sampling, raster order)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        p = pixels.astype(np.float64)
+        r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    bw, bh = -(-w // 8), -(-h // 8)
+    comps = []
+    for pl in planes:
+        padded = np.pad(pl, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _C @ (blk - 128.0) @ _C.T
+                q = np.rint(coef / _QUANT).astype(np.int64)
+                blocks.append(q.reshape(-1)[_ZIGZAG])
+        comps.append(blocks)
+    return comps, bw, bh
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    dc_al: int = 0,
+    ac_al: int = 0,
+    bands: tuple = ((1, 63),),
+) -> bytes:
+    """Progressive (SOF2) writer over the same tables as encode_jpeg:
+    interleaved DC first scan at Al=dc_al with refinement scans down to
+    0, then per-component per-band AC first scans at Al=ac_al with full
+    G.1.2.2-style refinement scans (newly-nonzero (r,1) symbols, sign
+    bits, buffered correction bits).  1×1 sampling only."""
+    comps, bw, bh = _quant_zz_planes(pixels)
+    nc = len(comps)
+    h, w = pixels.shape[:2]
+    nblocks = bw * bh
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(int(x) for x in _QUANT.reshape(-1)[_ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits) + vals
+
+    def sos(cids, ss, se, ah, al, payload):
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cids), len(cids))
+        )
+        for cid in cids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg) + payload
+
+    # DC first (interleaved; 1x1 sampling ⇒ one block per comp per MCU)
+    wr = _BitWriter()
+    pred = [0] * nc
+    for bi in range(nblocks):
+        for ci in range(nc):
+            v = int(comps[ci][bi][0]) >> dc_al
+            s, mag = _magnitude(v - pred[ci])
+            c, l = _DC_CODES[s]
+            wr.put(c, l)
+            if s:
+                wr.put(mag, s)
+            pred[ci] = v
+    wr.align_ones()
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, dc_al, bytes(wr.out))
+    for lev in range(dc_al - 1, -1, -1):
+        wr = _BitWriter()
+        for bi in range(nblocks):
+            for ci in range(nc):
+                wr.put((int(comps[ci][bi][0]) >> lev) & 1, 1)
+        wr.align_ones()
+        out += sos(list(range(1, nc + 1)), 0, 0, lev + 1, lev, bytes(wr.out))
+
+    # AC first scans (per component, per band)
+    for ci in range(nc):
+        for ss, se in bands:
+            wr = _BitWriter()
+            for bi in range(nblocks):
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(comps[ci][bi][k])
+                    t = abs(v) >> ac_al
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        c, l = _AC_CODES[0xF0]
+                        wr.put(c, l)
+                        r -= 16
+                    tv = t if v > 0 else -t
+                    s, mag = _magnitude(tv)
+                    c, l = _AC_CODES[(r << 4) | s]
+                    wr.put(c, l)
+                    wr.put(mag, s)
+                    r = 0
+                if r > 0:
+                    c, l = _AC_CODES[0x00]
+                    wr.put(c, l)
+            wr.align_ones()
+            out += sos([ci + 1], ss, se, 0, ac_al, bytes(wr.out))
+
+    # AC refinement scans
+    for lev in range(ac_al - 1, -1, -1):
+        ah = lev + 1
+        for ci in range(nc):
+            for ss, se in bands:
+                wr = _BitWriter()
+                for bi in range(nblocks):
+                    r = 0
+                    br: list[int] = []
+
+                    def flush_br():
+                        for b_ in br:
+                            wr.put(b_, 1)
+                        br.clear()
+
+                    for k in range(ss, se + 1):
+                        v = int(comps[ci][bi][k])
+                        a = abs(v)
+                        if (a >> lev) == 0:
+                            r += 1
+                            continue
+                        if (a >> ah) == 0:  # newly nonzero at this level
+                            while r > 15:
+                                c, l = _AC_CODES[0xF0]
+                                wr.put(c, l)
+                                flush_br()
+                                r -= 16
+                            c, l = _AC_CODES[(r << 4) | 1]
+                            wr.put(c, l)
+                            wr.put(1 if v > 0 else 0, 1)
+                            flush_br()
+                            r = 0
+                        else:  # correction bit, buffered
+                            br.append((a >> lev) & 1)
+                    if r > 0 or br:
+                        c, l = _AC_CODES[0x00]
+                        wr.put(c, l)
+                        flush_br()
+                wr.align_ones()
+                out += sos([ci + 1], ss, se, ah, lev, bytes(wr.out))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class TestProgressiveJpeg:
+    def test_spectral_selection_matches_baseline(self):
+        # same coefficients through SOF2 spectral-selection scans must
+        # reconstruct byte-identically to the baseline encoding
+        img = _gradient(24, 33)
+        base = decode_jpeg(encode_jpeg(img))[3]
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, bands=((1, 5), (6, 20), (21, 63)))
+        )[3]
+        assert np.array_equal(base, prog)
+
+    def test_rgb_interleaved_dc_and_band_scans(self):
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, size=(17, 26, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))[3]
+        prog = decode_jpeg(encode_jpeg_progressive(img, bands=((1, 63),)))[3]
+        assert np.array_equal(base, prog)
+
+    def test_successive_approximation_full(self):
+        # DC Al=1 + refinement, AC Al=2 + two refinement levels — every
+        # decoder path: newly-nonzero symbols, sign bits, buffered
+        # correction bits, EOB-with-corrections, ZRL-in-refinement
+        img = _gradient(40, 31)
+        base = decode_jpeg(encode_jpeg(img))[3]
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, dc_al=1, ac_al=2, bands=((1, 9), (10, 63))
+            )
+        )[3]
+        assert np.array_equal(base, prog)
+
+    def test_successive_approximation_noise_rgb(self):
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))[3]
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, dc_al=2, ac_al=1, bands=((1, 63),))
+        )[3]
+        assert np.array_equal(base, prog)
+
+    def test_truncated_progressive_is_valueerror(self):
+        img = _gradient(24, 24)
+        data = encode_jpeg_progressive(img, ac_al=1)
+        with pytest.raises(ValueError):
+            decode_jpeg(data[: int(len(data) * 0.4)])
