@@ -4,13 +4,20 @@
 Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}.  The flagship is measured WARM
+(the fresh-JVM cold run is published as near_dup_clusters_cold_s) —
+see run_bench for why.
 
---scaling: run the flagship pipeline twice in fresh JVMs at local[8]
-and local[32] on the same input and write BENCH/SCALING.md with
-throughput at both plus efficiency = (T8/T32)/4 — the sandbox
-substitution for the north rule's N vs 4N executor criterion
-(BASELINE.md "Sandbox substitution").
+--scaling-paired (round 4, the headline scaling evidence): both legs
+in persistent warm JVMs, measured runs strictly alternating in ABBA
+order, efficiency = median of per-pair (T8/T32)/4 — the sandbox
+substitution for the north rule's N vs 4N executor criterion with the
+hours-scale host-noise confound removed structurally (r3 forensics,
+BENCH/SCALING.md).  Writes BENCH/scaling_paired_raw.json; render the
+markdown with tools/make_scaling_md.py.
+
+--scaling: the round-3 sequential plateau-median protocol (kept for
+comparability; superseded by --scaling-paired).
 """
 
 from __future__ import annotations

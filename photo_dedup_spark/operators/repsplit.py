@@ -56,6 +56,12 @@ from photo_dedup_spark.functions.signatures import sketch_from_bytes
 
 _SPLIT_SCHEMA = "doc_id long, cluster_id long"
 
+# founders per comparison block in the blocked-batched greedy: small
+# enough that an early match costs ~one block of memory traffic
+# (64 × ≤1k sketch entries ≈ 512 KB), large enough that founder-heavy
+# groups amortize the per-block numpy call overhead
+_FOUNDER_BLOCK = 64
+
 
 def rep_verify_split(
     comp_labels: DataFrame,
@@ -112,27 +118,66 @@ def rep_verify_split(
             )
         pdf = pdf.sort_values(["repo", "path"])  # oracle iteration order
 
-        # Batched greedy (VERDICT r3 "What's wrong #3"): each member is
-        # compared against ALL current founders in one vectorized pass —
-        # founder sketch elements live in one growing buffer tagged with
-        # their founder index, membership in the member's (sorted)
-        # sketch is a single searchsorted, and per-founder intersection
-        # /filtered-size counts come out of bincount.  Greedy semantics
-        # are preserved exactly: the member joins the FIRST founder (in
-        # founding order) whose pairwise estimate passes, computed with
-        # the same level-filter algebra as :func:`sketch_overlap_py`
-        # (filter both sides to lvl = max(b_member, b_founder); empty-
-        # after-filter ⇒ don't merge unless both exact-and-empty).
-        n_rows = len(pdf)
-        max_elems = int(
-            sum(0 if s is None else len(s) // 8 for s in pdf["sketch"])
-        )
-        fbuf = np.empty(max_elems, dtype=np.uint64)   # concat founder values
-        fidx = np.empty(max_elems, dtype=np.int64)    # founder index per value
-        n_elems = 0
-        f_ids: list[int] = []                          # founder doc_ids
-        f_b = np.empty(n_rows, dtype=np.int64)         # founder levels
-        f_size = np.empty(n_rows, dtype=np.int64)      # founder sketch sizes
+        # Blocked-batched greedy (VERDICT r3 #3, revised in-round):
+        # founders are stored in creation-order BLOCKS of
+        # ``_FOUNDER_BLOCK`` sketches, each block one concatenated
+        # buffer.  A member is compared against one block at a time
+        # with a single searchsorted + bincount per block and STOPS at
+        # the first block containing a match — restoring the scalar
+        # loop's early exit (the r4 all-founders pass cost ~150 s on
+        # the 468k corpus: most members match an early founder, but the
+        # unblocked version still paid O(founders × sketch) memory
+        # traffic per member).  Within and across blocks the FIRST
+        # matching founder in founding order wins, so results are
+        # bit-identical to the scalar oracle-order greedy; the pairwise
+        # estimate uses the same level-filter algebra as
+        # :func:`sketch_overlap_py` (filter both sides to
+        # lvl = max(b_member, b_founder); empty-after-filter ⇒ don't
+        # merge unless both exact-and-empty).
+        blocks: list[dict] = []  # closed+open founder blocks, in order
+
+        def _new_block() -> dict:
+            return {
+                "vals": np.empty(_FOUNDER_BLOCK * 600, dtype=np.uint64),
+                "fi": np.empty(_FOUNDER_BLOCK * 600, dtype=np.int64),
+                "n": 0,      # elements used
+                "cnt": 0,    # founders in block
+                "b": np.empty(_FOUNDER_BLOCK, dtype=np.int64),
+                "ids": [],
+            }
+
+        def _match_in_block(blk: dict, sk: np.ndarray, bu: int) -> int | None:
+            cnt = blk["cnt"]
+            vals = blk["vals"][: blk["n"]]
+            fi = blk["fi"][: blk["n"]]
+            su = sk.size
+            lvl = np.maximum(blk["b"][:cnt], bu)
+            exact = lvl == 0  # no filter (threshold would be 2^64)
+            # clamp the shift so the exact lane never shifts by 64
+            # (undefined for uint64); its threshold is masked out
+            shift = np.uint64(64) - np.maximum(lvl, 1).astype(np.uint64)
+            thr = np.where(exact, np.uint64(0), np.uint64(1) << shift)
+            # membership of every founder element in the member set
+            pos = np.searchsorted(sk, vals)
+            inu = np.zeros(vals.size, dtype=bool)
+            ok = pos < su
+            inu[ok] = sk[pos[ok]] == vals[ok]
+            keep = exact[fi] | (vals < thr[fi])
+            inter = np.bincount(fi[inu & keep], minlength=cnt)
+            fcnt = np.bincount(fi[keep], minlength=cnt)
+            # member size after filtering to each pairwise level
+            ucnt = np.where(exact, su, np.searchsorted(sk, thr))
+            both_empty = (ucnt == 0) & (fcnt == 0)
+            any_empty = (ucnt == 0) | (fcnt == 0)
+            union = np.maximum(ucnt + fcnt - inter, 1)
+            small = np.maximum(np.minimum(ucnt, fcnt), 1)
+            j = np.where(any_empty, 0.0, inter / union)
+            c = np.where(any_empty, 0.0, inter / small)
+            # both-empty at lvl==0 ⇒ (1,1): two exactly-empty sets
+            match = (j >= tau_j) | (c >= tau_c) | (both_empty & exact)
+            hit = np.flatnonzero(match)
+            return blk["ids"][int(hit[0])] if hit.size else None
+
         out_ids, out_labels = [], []
         for row in pdf.itertuples(index=False):
             if row.sketch is None or row.sketch_b is None:
@@ -142,51 +187,29 @@ def rep_verify_split(
                 # so searchsorted stays correct for any producer
                 sk = np.sort(sketch_from_bytes(row.sketch).view(np.uint64))
             label = None
-            nf = len(f_ids)
-            if sk is not None and nf:
+            if sk is not None:
                 bu = int(row.sketch_b)
-                su = sk.size
-                vals = fbuf[:n_elems]
-                fi = fidx[:n_elems]
-                # pairwise level & filter threshold per founder
-                lvl = np.maximum(f_b[:nf], bu)
-                exact = lvl == 0  # no filter (threshold would be 2^64)
-                # clamp the shift so the exact lane never shifts by 64
-                # (undefined for uint64); its threshold is masked out
-                shift = np.uint64(64) - np.maximum(lvl, 1).astype(np.uint64)
-                thr = np.where(exact, np.uint64(0), np.uint64(1) << shift)
-                # membership of every founder element in the member set
-                pos = np.searchsorted(sk, vals)
-                inu = np.zeros(vals.size, dtype=bool)
-                ok = pos < su
-                inu[ok] = sk[pos[ok]] == vals[ok]
-                keep = exact[fi] | (vals < thr[fi])
-                inter = np.bincount(fi[inu & keep], minlength=nf)
-                fcnt = np.bincount(fi[keep], minlength=nf)
-                # member size after filtering to each pairwise level
-                ucnt = np.where(exact, su, np.searchsorted(sk, thr))
-                both_empty = (ucnt == 0) & (fcnt == 0)
-                any_empty = (ucnt == 0) | (fcnt == 0)
-                union = np.maximum(ucnt + fcnt - inter, 1)
-                small = np.maximum(np.minimum(ucnt, fcnt), 1)
-                j = np.where(any_empty, 0.0, inter / union)
-                c = np.where(any_empty, 0.0, inter / small)
-                # both-empty at lvl==0 ⇒ (1,1): two exactly-empty sets
-                match = (
-                    (j >= tau_j) | (c >= tau_c) | (both_empty & exact)
-                )
-                hit = np.flatnonzero(match)
-                if hit.size:
-                    label = f_ids[int(hit[0])]
+                for blk in blocks:  # founding order; stop at first hit
+                    label = _match_in_block(blk, sk, bu)
+                    if label is not None:
+                        break
             if label is None:
                 label = int(row.doc_id)
                 if sk is not None:
-                    f_b[nf] = int(row.sketch_b)
-                    f_size[nf] = sk.size
-                    fbuf[n_elems : n_elems + sk.size] = sk
-                    fidx[n_elems : n_elems + sk.size] = nf
-                    n_elems += sk.size
-                    f_ids.append(label)
+                    if not blocks or blocks[-1]["cnt"] >= _FOUNDER_BLOCK:
+                        blocks.append(_new_block())
+                    blk = blocks[-1]
+                    need = blk["n"] + sk.size
+                    if need > blk["vals"].size:  # oversize sketches
+                        grow = max(need, 2 * blk["vals"].size)
+                        blk["vals"] = np.resize(blk["vals"], grow)
+                        blk["fi"] = np.resize(blk["fi"], grow)
+                    blk["vals"][blk["n"] : need] = sk
+                    blk["fi"][blk["n"] : need] = blk["cnt"]
+                    blk["b"][blk["cnt"]] = bu
+                    blk["n"] = need
+                    blk["cnt"] += 1
+                    blk["ids"].append(label)
             out_ids.append(int(row.doc_id))
             out_labels.append(label)
         return pd.DataFrame({"doc_id": out_ids, "cluster_id": out_labels})
