@@ -25,6 +25,12 @@ Codec support is tiered, honestly:
       - GIF 87a/89a (pure-python variable-width LZW, interlace, local
         color tables — functions/gif.py), first frame like PIL's
         default open;
+      - TIFF and DNG (functions/tiff.py: both byte orders, strips and
+        tiles, LZW/PackBits/JPEG-in-TIFF compression, predictor 2,
+        palette/bilevel/16-bit, SubIFD walk) — a DNG's raw CFA mosaic
+        is not demosaicked; the decoder renders the best embedded
+        RGB preview exactly as PIL does for the reference's ``.dng``
+        entries (hasher.py:23);
       - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
         = per-block RMS energy profile.
   * GATED: remaining compressed codecs (WEBP/HEIC/MP3/H.264) need
@@ -346,6 +352,14 @@ def decode_image_features(
                         from photo_dedup_spark.functions.gif import decode_gif
 
                         w, h, c, px = decode_gif(data)
+                        feats = dhash64(px)
+                    elif data[:4] in (b"II*\0", b"MM\0*"):
+                        # REAL TIFF/DNG decode (best decodable IFD —
+                        # a DNG resolves to its embedded preview, as
+                        # PIL does; reference hasher.py:23 lists .dng)
+                        from photo_dedup_spark.functions.tiff import decode_tiff
+
+                        w, h, c, px = decode_tiff(data)
                         feats = dhash64(px)
                     elif fake:
                         w, h, c, feats = _fake_decode(data)
