@@ -31,9 +31,12 @@ Codec support is tiered, honestly:
         is not demosaicked; the decoder renders the best embedded
         RGB preview exactly as PIL does for the reference's ``.dng``
         entries (hasher.py:23);
+      - WEBP lossless (functions/webp.py: the full VP8L bitstream —
+        canonical prefix codes, LZ77 with the 2D distance map, color
+        cache, meta-prefix tiling, and all four transforms inverted);
       - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
         = per-block RMS energy profile.
-  * GATED: remaining compressed codecs (WEBP/HEIC/MP3/H.264) need
+  * GATED: remaining compressed codecs (lossy-VP8 WEBP/HEIC/MP3/H.264) need
     libraries this container doesn't ship — those payloads raise a
     per-row decode error (carried as DATA, the count-and-drop
     contract), or use the deterministic ``fake=True`` decoder in tests.
@@ -352,6 +355,14 @@ def decode_image_features(
                         from photo_dedup_spark.functions.gif import decode_gif
 
                         w, h, c, px = decode_gif(data)
+                        feats = dhash64(px)
+                    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                        # REAL WEBP-lossless decode (full VP8L: prefix
+                        # codes, LZ77+color cache, all 4 transforms);
+                        # lossy VP8 stays gated (typed per-row error)
+                        from photo_dedup_spark.functions.webp import decode_webp
+
+                        w, h, c, px = decode_webp(data)
                         feats = dhash64(px)
                     elif data[:4] in (b"II*\0", b"MM\0*"):
                         # REAL TIFF/DNG decode (best decodable IFD —
