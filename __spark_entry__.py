@@ -1295,16 +1295,53 @@ _EXIF_JPEG = bytes.fromhex(
 )
 _EXIF_DT_OFF = 56  # offset of the 19-byte "YYYY:MM:DD HH:MM:SS" ASCII
 
+# 12x10 RGB VP8L (WEBP lossless, subtract-green transform) produced by
+# the round-trip-tested encoder in tests/test_webp.py — exercises the
+# full native VP8L decode path (functions/webp.py) in media_features.
+_WEBP_TEMPLATE = bytes.fromhex(
+    "52494646f0010000574542505650384ce40100002f0b4002008503020080641886cd66b3"
+    "bdbdbdfdfbb7b77ffff6f6efdfdefefddbdbbf7f7bfbf76f6ffffeededed6d1689044110"
+    "0000000000000000c00101806172b9cb5d72c92549928484040201000000000000000281"
+    "84842449925c72c95dee7277b9cbdde52e7797bbdc5d6632e38000c0a089888888888818"
+    "638c31c618638c31c6181111e79c030000000000000000000000000070ce391111630c00"
+    "240000000000000000000000000000000000000000000000000000000000000000019008"
+    "0000000020100591ca242691d948e56e7aed62364f4ee7e0f7fea2c14f3afc2a471f4ad6"
+    "d060cdc0158b2cb9742128667139c9ab51ddb875edcbd83dadfd831d0ebcb817a69d04b4"
+    "0ad46872b53e5f990ba5bd54b82ad95b4fc156943940e5cdda603244a325191cbfdefdef"
+    "fc441ba69a185327d92acb95269dd84cecb491c785011f443e73fc3ba5b3310f8712eeab"
+    "64d7a45b9f24420a8f6a2c61d08c450a2f5c7ea37a08db31e8a5f3104c5334a678931374"
+    "515415593654d179f0fe938d1d3af7c82ac0db081d13585b87d6ce778f6e70b693ab59dc"
+    "f4faaef6ba3c9be266f3a7cb3e3e1dcdf6d9625baed6cd76391cc2e5e4ef17f792ec5731"
+    "7f4d8386822db91bbf4f93d775fa7ccc1fefe5fedb6cc07e85f80511022a7a4c76b86a01"
+)
+
+# 14x9 palette GIF89a produced by the round-trip-tested encoder in
+# tests/test_gif.py — exercises the native LZW decode (functions/gif.py).
+_GIF_TEMPLATE = bytes.fromhex(
+    "4749463839610e00090083000000ff0011ee1f22dd3e33cc5d44bb7c55aa9b6699ba7788"
+    "d98877f8996617aa5536bb4455cc3374dd2293ee11b2ff00d12c000000000e0009000004"
+    "6a1014f54872033571581848231c4c602c40a13c84b10085f2108933208d7024ce803482"
+    "03236058000a0a46c0b00014140f42c23140341e8484638068080e8c806101101c1801c3"
+    "0250503c0809c7a0a07810128e01a22138300206080d02070c01060b00050a0f04091100"
+    "3b"
+)
+
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal columns (training-data mandate): REAL netpbm decode +
+    """Multimodal columns (training-data mandate): REAL codec decodes +
     the reference's dHash over binary payloads synthesized
-    deterministically from doc_id; every 7th row instead carries a real
-    baseline JPEG with a per-row EXIF DateTimeOriginal, exercising the
-    APP1/TIFF extraction + F5 multi-format parse (reference
-    metadata.py:63-121).  Rows-only: binary codec work is not
+    deterministically from doc_id.  Routing by doc_id: every 7th row a
+    real baseline JPEG with a per-row EXIF DateTimeOriginal (APP1/TIFF
+    extraction + F5 multi-format parse, reference metadata.py:63-121);
+    of the rest, 11-cycle residues 3/5 carry fixed WEBP-lossless and
+    GIF payloads (native VP8L and LZW decodes), 7-cycle residues 1/2
+    per-row PNG and TIFF gradients (zlib inflate; IFD walk), everything
+    else per-row netpbm.  Rows-only: binary codec work is not
     SQL-expressible; features are surfaced as a sha256 digest so every
     column stays driver-hashable."""
+    import struct
+    import zlib
+
     import numpy as np
     import pandas as pd
 
@@ -1313,11 +1350,43 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id")
 
+    def _png_gray(gray: "np.ndarray") -> bytes:
+        h, w = gray.shape
+        raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(h))
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            c = tag + body
+            return struct.pack(">I", len(body)) + c + struct.pack(">I", zlib.crc32(c))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def _tiff_gray(gray: "np.ndarray") -> bytes:
+        h, w = gray.shape
+        raster = gray.tobytes()
+        ents = [
+            (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+            (273, 4, 8), (277, 3, 1), (278, 4, h), (279, 4, len(raster)),
+        ]
+        ifd = struct.pack("<H", len(ents))
+        for tag, typ, val in ents:
+            ifd += struct.pack("<HHII", tag, typ, 1, val)
+        ifd += struct.pack("<I", 0)
+        return b"II*\0" + struct.pack("<I", 8 + len(raster)) + raster + ifd
+
     def _gen(batches):
         for pdf in batches:
             ids, payloads = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
+                w, h = 40 + did % 32, 30 + did % 24
+                ys, xs = np.mgrid[0:h, 0:w]
+                gray = ((xs * 7 + ys * 13 + did) % 251).astype(np.uint8)
                 if did % 7 == 0:
                     dt = "20%02d:%02d:%02d %02d:%02d:%02d" % (
                         did % 30,
@@ -1332,11 +1401,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + dt.encode("ascii")
                         + _EXIF_JPEG[_EXIF_DT_OFF + 19 :]
                     )
+                elif did % 11 == 3:
+                    payloads.append(_WEBP_TEMPLATE)
+                elif did % 11 == 5:
+                    payloads.append(_GIF_TEMPLATE)
+                elif did % 7 == 1:
+                    payloads.append(_png_gray(gray))
+                elif did % 7 == 2:
+                    payloads.append(_tiff_gray(gray))
                 else:
-                    w, h = 40 + did % 32, 30 + did % 24
-                    ys, xs = np.mgrid[0:h, 0:w]
-                    px = ((xs * 7 + ys * 13 + did) % 251).astype(np.uint8)
-                    rgb = np.repeat(px[:, :, None], 3, axis=2)
+                    rgb = np.repeat(gray[:, :, None], 3, axis=2)
                     payloads.append(b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes())
                 ids.append(did)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
