@@ -1434,6 +1434,66 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video tier (training-data mandate): MJPEG-in-AVI payloads built
+    deterministically from doc_id (2-5 real baseline-JPEG frames each,
+    per-frame EXIF variation), container-walked and frame-decoded by
+    the native JPEG decoder with every_k=2 sampling — the executable
+    form of the frame_sample schedule.  Rows-only: container/codec work
+    is not SQL-expressible; features surface as a sha256 digest."""
+    import struct
+
+    import pandas as pd
+
+    from photo_dedup_spark.functions.multimodal import decode_video_frames
+
+    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 17 == 0)
+
+    def _avi(frames: list) -> bytes:
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\0" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        avih = chunk(b"avih", struct.pack("<14I", 33333, 0, 0, 0, len(frames), *([0] * 9)))
+        hdrl = chunk(b"LIST", b"hdrl" + avih)
+        movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for k in range(2 + did % 4):
+                    dt = "20%02d:%02d:%02d 0%d:00:00" % (
+                        did % 30, 1 + did % 12, 1 + did % 28, k % 10,
+                    )
+                    frames.append(
+                        _EXIF_JPEG[:_EXIF_DT_OFF]
+                        + dt.encode("ascii")
+                        + _EXIF_JPEG[_EXIF_DT_OFF + 19 :]
+                    )
+                ids.append(did)
+                payloads.append(_avi(frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.mapInPandas(_gen, "media_id long, payload binary")
+    feats = decode_video_frames(media, every_k=2)
+    return feats.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        F.sha2(
+            F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))),
+            256,
+        ).alias("dhash_digest"),
+        "decode_error",
+    )
+
+
 def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_dedup_spark.operators.similarity import cosine_topk_srp
 
@@ -1481,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_plan": q_action_plan,
         "ann_srp_topk": q_ann_srp_topk,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
     }
 
 

@@ -32,6 +32,7 @@ PINNED = [
     "action_plan",
     "ann_srp_topk",
     "media_features",
+    "video_frames",
 ]
 
 
