@@ -1160,6 +1160,132 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) over the events table,
+    rolled up per user.  One shuffle on user_id (lag + running-sum
+    window, operators/temporal.py); no self-join — the scalable form
+    of the sessionize operator a crawl/ingest log pipeline needs."""
+    from photo_dedup_spark.operators.temporal import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize(e, "user_id", "ts", 1800, order_cols=("event_id",))
+    per_sess = sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_ev")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_ev").alias("max_session_events"),
+            F.sum("n_ev").cast("long").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSION_STATS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                   OR ts_us - LAG(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_ev FROM sess GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_ev) AS max_session_events,
+       CAST(SUM(n_ev) AS BIGINT) AS total_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attached to the latest
+    preceding-or-equal click by the same user.  Union + single
+    key-shuffle + last(ignorenulls) ordered window — the sort-based
+    temporal-join plan (operators/temporal.py), NOT a per-key range
+    join.  The oracle is an independent construction (correlated
+    lateral subquery), so parity checks the semantics, not the plan."""
+    from photo_dedup_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals={"c_event_id": "click_id"},
+        left_tie="event_id",
+        right_tie="c_event_id",
+    )
+    return out.select("event_id", "user_id", "click_id", "asof_gap_us").orderBy(
+        "event_id"
+    )
+
+
+SQL_ASOF_CLICKS = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       (SELECT c.event_id FROM c
+         WHERE c.user_id = p.user_id
+           AND (c.ts_us, c.event_id) <= (p.ts_us, p.event_id)
+         ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS click_id,
+       p.ts_us - (SELECT c.ts_us FROM c
+         WHERE c.user_id = p.user_id
+           AND (c.ts_us, c.event_id) <= (p.ts_us, p.event_id)
+         ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1) AS asof_gap_us
+FROM p ORDER BY p.event_id
+"""
+
+
+def q_source_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate census over documents: the repo-level
+    rollup a source-code dedup run reports (input_hint's repo column ≅
+    documents.source).  Pure map-side-combining agg on sha2 keys."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.sha2(F.col("text"), 256)).alias("distinct_texts"),
+            (
+                F.count("*") - F.countDistinct(F.sha2(F.col("text"), 256))
+            ).alias("dup_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_DUP_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT sha256(text)) AS distinct_texts,
+       COUNT(*) - COUNT(DISTINCT sha256(text)) AS dup_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # -- embedding similarity ------------------------------------------------------
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,6 +1658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_rollup": q_events_rollup,
+        # temporal (sessionize / as-of join) + per-source dup census
+        "session_stats": q_session_stats,
+        "asof_clicks": q_asof_clicks,
+        "source_dup_stats": q_source_dup_stats,
         # similarity
         "embedding_topk": q_embedding_topk,
         # rows-only (non-SQL-expressible)
@@ -1572,5 +1702,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_rollup": SQL_EVENTS_ROLLUP,
+        "session_stats": SQL_SESSION_STATS,
+        "asof_clicks": SQL_ASOF_CLICKS,
+        "source_dup_stats": SQL_SOURCE_DUP_STATS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
     }

@@ -1,0 +1,144 @@
+"""Temporal operators: gap-based sessionization and as-of joins.
+
+The reference is a batch photo tool with no temporal semantics, but a
+production dedup pipeline over crawled/source-code corpora needs both:
+sessionization to segment event streams (crawl logs, ingestion events)
+and as-of joins to attach the latest preceding state row (license scan,
+repo snapshot) to each fact row without a range-join blowup.
+
+Both operators are single-shuffle window constructions:
+
+* ``sessionize`` — one shuffle on the partition key; session ids come
+  from ``lag`` + a running ``sum`` over the per-key window.  No
+  self-join, no collect; at 100 TB the only concern is per-key skew,
+  which AQE's skew-join handling does not see (windows, not joins) —
+  callers with pathological hot keys should pre-split by time range.
+* ``asof_join`` — the classic scalable form: tag both sides, union,
+  ONE shuffle on the join key, then ``last(value, ignorenulls=True)``
+  over the (ts, tie, …) ordered window carries the latest right-side
+  row forward onto each left row.  This replaces the naive
+  ``left.ts >= right.ts`` range join (quadratic per key) with a sort —
+  the same plan Flink/Kafka-Streams use for temporal joins.
+
+Timestamps are compared in integer microseconds (``unix_micros``) so
+the semantics are exact and engine-portable (no float epoch rounding); TIMESTAMP_NTZ inputs are
+cast to session-TZ timestamps (sessions pin UTC) since ``unix_micros``
+rejects NTZ in Spark 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign a per-key ``session_idx`` (0-based) that increments when
+    the gap to the previous event exceeds ``gap_seconds``.
+
+    The window is ordered by (ts_micros, *order_cols); pass a unique
+    tiebreaker (e.g. an event id) in ``order_cols`` so the ordering is
+    total and the result deterministic under identical timestamps.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_ts_us"), *[F.col(c) for c in order_cols]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+    with_gap = events.withColumn("_ts_us", us).withColumn(
+        "_new_session",
+        (
+            F.coalesce(
+                F.col("_ts_us") - F.lag("_ts_us", 1).over(w) > F.lit(gap_us),
+                F.lit(True),  # first event of a key starts session 0
+            )
+        ).cast("int"),
+    )
+    return (
+        with_gap.withColumn(
+            "session_idx",
+            F.sum("_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.lit(1),
+        )
+        .drop("_new_session", "_ts_us")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: dict[str, str],
+    left_tie: str | None = None,
+    right_tie: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same key
+    with (right_ts, right_tie) <= (left_ts, left_tie) lexicographically
+    (ties resolved right-before-left so an equal-timestamp right row IS
+    visible to the left row).
+
+    ``right_vals`` maps right-side columns to their output names.
+    Output = all left columns + the mapped right columns (null when no
+    preceding right row exists) + ``asof_gap_us`` (microseconds between
+    the matched rows, null when unmatched).
+
+    One shuffle on ``on``; both inputs are sorted together, never
+    cross-joined.  Reference parity note: the reference has no temporal
+    ops — this extends SURVEY.md §2's window tier (W1-W4) to the
+    event-stream shapes a web-scale ingest pipeline needs.
+    """
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("_ts_us"),
+        F.lit(1).alias("_side"),  # left sorts AFTER right on ties
+        *(
+            [F.col(left_tie).alias("_tie")]
+            if left_tie
+            else [F.lit(0).alias("_tie")]
+        ),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in right_vals.items()],
+        F.lit(None).cast("long").alias("_r_ts_us"),
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_ts_us"),
+        F.lit(0).alias("_side"),
+        *(
+            [F.col(right_tie).alias("_tie")]
+            if right_tie
+            else [F.lit(0).alias("_tie")]
+        ),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(o) for c, o in right_vals.items()],
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_r_ts_us"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts_us", "_tie", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried: list[Column] = [
+        F.last(o, ignorenulls=True).over(w).alias(o) for o in right_vals.values()
+    ]
+    carried.append(F.last("_r_ts_us", ignorenulls=True).over(w).alias("_r_ts_us_c"))
+    joined = lt.unionByName(rt).select("_k", "_ts_us", "_side", "_lrow", *carried)
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    return (
+        joined.where(F.col("_side") == 1)
+        .select(
+            *out_cols,
+            *[F.col(o) for o in right_vals.values()],
+            (F.col("_ts_us") - F.col("_r_ts_us_c")).alias("asof_gap_us"),
+        )
+    )

@@ -360,13 +360,20 @@ class TestMultimodal:
     def test_compressed_codec_gated(self, spark):
         from photo_dedup_spark.functions.multimodal import decode_image_features
 
-        # WEBP magic: still no codec → per-row "external" error (GIF
-        # graduated to a real decoder in round 4 — tests/test_gif.py);
-        # a TRUNCATED JPEG reaches the real decoder and yields its
-        # parse error — count-and-drop either way, never a crash
+        # LOSSY WebP (VP8 intra frames): lossless VP8L graduated to a
+        # real decoder in round 4 (tests/test_webp.py), lossy stays in
+        # the gated tier → per-row "external" error from a well-formed
+        # RIFF walk; a TRUNCATED JPEG reaches the real decoder and
+        # yields its parse error — count-and-drop either way, no crash
+        import struct as _struct
+
+        vp8_chunk = b"VP8 " + _struct.pack("<I", 10) + b"\x00" * 10
+        lossy_webp = (
+            b"RIFF" + _struct.pack("<I", 4 + len(vp8_chunk)) + b"WEBP" + vp8_chunk
+        )
         media = spark.createDataFrame(
             [
-                (1, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),
+                (1, bytearray(lossy_webp)),
                 (2, bytearray(b"\xff\xd8\xff\xe0rest")),
             ],
             "media_id long, payload binary",
