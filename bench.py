@@ -401,7 +401,12 @@ def run_scaling_paired(sf_dir: str) -> None:
             f" eff={pair_eff[-1]}",
             file=sys.stderr,
         )
-    traced = {c: one(c, n_pairs, "traced") for c in (8, 32)}
+    # one traced run per leg feeds the per-stage 8-vs-32 table; skip
+    # via SPARK_GRAFT_TRACED=0 when the wall-clock budget is tight
+    if os.environ.get("SPARK_GRAFT_TRACED", "1") != "0":
+        traced = {c: one(c, n_pairs, "traced") for c in (8, 32)}
+    else:
+        traced = {}
     with open(os.path.join(ctrl, "stop"), "w") as f:
         f.write("done")
     for p in procs.values():

@@ -63,6 +63,14 @@ class DedupConfig:
     # the job/barrier count (the loop's serial fraction) at the cost of
     # at most one redundant round after the fixpoint.
     cc_check_every: int = 2
+    # rep graphs at or below this edge count resolve on the DRIVER via
+    # union-find: the iterative join loop costs ~3 latency-bound jobs
+    # per round × O(log n) rounds of pure serial scheduling time, which
+    # dominates when the rep graph is small relative to the corpus
+    # (dedup rep graphs are: edges ≪ files).  2M edges ≈ 32 MB on the
+    # driver.  Graphs above the threshold — a 10^12-file corpus can
+    # exceed it — take the distributed label-propagation loop.
+    cc_driver_max_edges: int = 2_000_000
 
     # H4 dispatch: langs keyed on NORMALIZED content (pixel-hash analog);
     # None = normalize everything (the v1 default — every payload is text)

@@ -14,6 +14,10 @@ and let CC produce the merged clusters (SURVEY.md §2.4 J6).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,7 +58,22 @@ def connected_components(
     one redundant round after convergence.  Per-check change counts
     land in the metrics dict (the convergence telemetry the north rule
     asks for).
+
+    HYBRID: rep graphs with ≤ ``cfg.cc_driver_max_edges`` edges skip
+    the loop entirely and resolve by union-find on the driver (one
+    Arrow collect of (src, dst) longs, C-speed find/union, one
+    broadcast-joinable label map back) — identical labels, and the
+    ~3 jobs/round × O(log n) rounds of serial scheduling latency
+    become a single job.  This mirrors the scale design everywhere
+    else in the pipeline: distribute what is large (the corpus), keep
+    what is provably small (the REP edge set — edges ≪ files for any
+    dedup workload) off the cluster's critical path.  The distributed
+    loop remains the correctness path for graphs above the threshold
+    and is pinned by the same equivalence tests.
     """
+    n_edges_capped = edges.limit(cfg.cc_driver_max_edges + 1).count()
+    if n_edges_capped <= cfg.cc_driver_max_edges:
+        return _driver_union_find(nodes, edges, n_edges_capped)
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -91,35 +110,121 @@ def connected_components(
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
 
+    # Per-check PARQUET round-trip, not localCheckpoint, for the loop
+    # feedback.  localCheckpoint truncates lineage but the resulting
+    # LogicalRDD INHERITS the pre-checkpoint sizeInBytes estimate, and
+    # each round's self-join roughly squares it — so across feedback
+    # iterations Catalyst's size estimate compounds exponentially until
+    # the driver spends minutes multiplying million-digit BigIntegers
+    # inside stats estimation (reproduced: ~x5.5 digits per check; the
+    # loop appears to hang by check ~9).  A parquet read is a fresh
+    # leaf with REAL file statistics, so estimates reset every check —
+    # and the scratch files double as per-iteration lineage for resume
+    # diagnostics (north-rule checkpoint story).  The write+read pair
+    # replaces the old checkpoint job one-for-one; only graphs above
+    # cc_driver_max_edges ever pay it.
+    spark = nodes.sparkSession
+    scratch = tempfile.mkdtemp(prefix="cc_labels_")
+
     history: list[int] = []
     rounds_done = 0
     converged = False
-    while rounds_done < cfg.cc_max_iters and not converged:
-        cur = labels
-        for _ in range(min(cfg.cc_check_every, cfg.cc_max_iters - rounds_done)):
-            cur = _one_round(cur)
-            rounds_done += 1
-        # labels only ever decrease, so comparing against the last
-        # checkpoint detects any change across the whole batch of rounds
-        flagged = (
-            cur.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .select(
-                "doc_id",
-                F.col("n.cluster_id").alias("cluster_id"),
-                (F.col("n.cluster_id") < F.col("o.cluster_id")).alias("changed"),
+    try:
+        while rounds_done < cfg.cc_max_iters and not converged:
+            cur = labels
+            for _ in range(min(cfg.cc_check_every, cfg.cc_max_iters - rounds_done)):
+                cur = _one_round(cur)
+                rounds_done += 1
+            # labels only ever decrease, so comparing against the last
+            # materialized state detects any change across the batch
+            flagged = (
+                cur.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .select(
+                    "doc_id",
+                    F.col("n.cluster_id").alias("cluster_id"),
+                    (F.col("n.cluster_id") < F.col("o.cluster_id")).alias("changed"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = flagged.where(F.col("changed")).count()
-        labels = flagged.select("doc_id", "cluster_id")
-        history.append(int(n_changed))
-        converged = n_changed == 0
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {cfg.cc_max_iters} "
-            f"rounds (change history: {history[-5:]})"
-        )
+            step_path = os.path.join(scratch, f"check_{len(history)}")
+            flagged.write.parquet(step_path)
+            flagged = spark.read.parquet(step_path)
+            n_changed = flagged.where(F.col("changed")).count()
+            labels = flagged.select("doc_id", "cluster_id")
+            history.append(int(n_changed))
+            converged = n_changed == 0
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {cfg.cc_max_iters} "
+                f"rounds (change history: {history[-5:]})"
+            )
+        # one final localCheckpoint pins the result in block storage so
+        # the scratch dir can be deleted (single feedback-free hop: the
+        # inherited-stats compounding above cannot recur)
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
-    metrics = {"cc_iterations": rounds_done, "cc_changed_per_iter": history}
+    metrics = {
+        "cc_iterations": rounds_done,
+        "cc_changed_per_iter": history,
+        "cc_mode": "distributed",
+    }
     return labels, metrics
+
+
+def _driver_union_find(
+    nodes: DataFrame, edges: DataFrame, n_edges: int
+) -> tuple[DataFrame, dict]:
+    """Driver-side component resolution for small rep graphs: one Arrow
+    collect, vectorized numpy min-label propagation with pointer
+    jumping (labels decrease monotonically ⇒ guaranteed fixpoint in
+    O(log n) rounds), one label map joined back to the distributed
+    ``nodes`` frame.  Produces the same value-based label as the
+    distributed loop: min doc_id per component."""
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    if n_edges == 0:
+        labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        return labels, {
+            "cc_iterations": 0,
+            "cc_changed_per_iter": [],
+            "cc_mode": "driver-union-find",
+            "cc_driver_edges": 0,
+        }
+
+    epd = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).toPandas()
+    src = epd["src"].to_numpy(dtype=np.int64)
+    dst = epd["dst"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([src, dst]))  # sorted ⇒ index order = id order
+    e1 = np.searchsorted(ids, src)
+    e2 = np.searchsorted(ids, dst)
+    lab = np.arange(len(ids), dtype=np.int64)
+    history: list[int] = []
+    while True:
+        prev = lab.copy()
+        m = np.minimum(lab[e1], lab[e2])
+        np.minimum.at(lab, e1, m)
+        np.minimum.at(lab, e2, m)
+        lab = lab[lab]  # pointer jump: label <- label(label)
+        changed = int((lab != prev).sum())
+        history.append(changed)
+        if changed == 0:
+            break
+    mapping = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "cluster_id": ids[lab]})
+    )
+    labels = nodes.join(mapping, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return labels, {
+        "cc_iterations": len(history),
+        "cc_changed_per_iter": history,
+        "cc_mode": "driver-union-find",
+        "cc_driver_edges": n_edges,
+    }

@@ -75,14 +75,25 @@ class TestBatchVerifyParity:
 
 def _labels(spark, cfg, nodes, edges):
     n = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
-    e = spark.createDataFrame(edges, "src long, dst long")
+    if edges:
+        e = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        e = spark.createDataFrame([], "src long, dst long")
     labels, metrics = connected_components(n, e, cfg)
     return {r.doc_id: r.cluster_id for r in labels.collect()}, metrics
 
 
+def _dist_cfg(cfg):
+    """Force the distributed label-propagation loop (the small test
+    graphs would otherwise all take the driver union-find path)."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, cc_driver_max_edges=0)
+
+
 class TestConnectedComponents:
     def test_chain_collapses_to_min(self, spark, cfg):
-        got, m = _labels(spark, cfg, range(1, 8), [(1, 2), (2, 3), (3, 4), (5, 6)])
+        got, m = _labels(spark, _dist_cfg(cfg), range(1, 8), [(1, 2), (2, 3), (3, 4), (5, 6)])
         assert got[1] == got[2] == got[3] == got[4] == 1
         assert got[5] == got[6] == 5
         assert got[7] == 7
@@ -90,7 +101,7 @@ class TestConnectedComponents:
 
     def test_direction_agnostic(self, spark, cfg):
         # edges given (big → small): min label still propagates
-        got, _ = _labels(spark, cfg, [1, 2, 3], [(3, 2), (2, 1)])
+        got, _ = _labels(spark, _dist_cfg(cfg), [1, 2, 3], [(3, 2), (2, 1)])
         assert got == {1: 1, 2: 1, 3: 1}
 
     def test_two_stars_merged_by_bridge(self, spark, cfg):
@@ -99,7 +110,7 @@ class TestConnectedComponents:
         star1 = [(10, 11), (10, 12)]
         star2 = [(20, 21), (20, 22)]
         bridge = [(12, 21)]
-        got, _ = _labels(spark, cfg, [10, 11, 12, 20, 21, 22], star1 + star2 + bridge)
+        got, _ = _labels(spark, _dist_cfg(cfg), [10, 11, 12, 20, 21, 22], star1 + star2 + bridge)
         assert len(set(got.values())) == 1
 
     def test_exact_star_edges_shape(self, spark):
@@ -112,6 +123,41 @@ class TestConnectedComponents:
 
     def test_long_chain_converges_within_bound(self, spark, cfg):
         n = 40
-        got, m = _labels(spark, cfg, range(n), [(i, i + 1) for i in range(n - 1)])
+        got, m = _labels(spark, _dist_cfg(cfg), range(n), [(i, i + 1) for i in range(n - 1)])
         assert set(got.values()) == {0}
         assert m["cc_iterations"] <= cfg.cc_max_iters
+
+
+class TestDriverUnionFind:
+    def test_default_path_is_driver_for_small_graphs(self, spark, cfg):
+        got, m = _labels(spark, cfg, range(1, 8), [(1, 2), (2, 3), (3, 4), (5, 6)])
+        assert m["cc_mode"] == "driver-union-find"
+        assert got[1] == got[2] == got[3] == got[4] == 1
+        assert got[5] == got[6] == 5 and got[7] == 7
+
+    def test_no_edges(self, spark, cfg):
+        got, m = _labels(spark, cfg, [3, 9], [])
+        assert got == {3: 3, 9: 9}
+        assert m["cc_mode"] == "driver-union-find" and m["cc_driver_edges"] == 0
+
+    def test_matches_distributed_on_random_graph(self, spark, cfg):
+        import random
+
+        rng = random.Random(1234)
+        nodes = list(range(200))
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        drv, md = _labels(spark, cfg, nodes, edges)
+        dst, mdist = _labels(spark, _dist_cfg(cfg), nodes, edges)
+        assert md["cc_mode"] == "driver-union-find"
+        assert mdist["cc_mode"] == "distributed"
+        assert drv == dst
+
+    def test_threshold_routes_to_distributed(self, spark, cfg):
+        import dataclasses
+
+        small = dataclasses.replace(cfg, cc_driver_max_edges=2)
+        _, m = _labels(spark, small, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
+        assert m["cc_mode"] == "distributed"
