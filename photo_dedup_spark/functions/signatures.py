@@ -95,10 +95,15 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     # as _minhash_from_shingles, bit-identical result)
     n = windows.shape[0]
     hashes = np.empty(n, dtype=np.uint64)
+    global _W64_BUF
+    if _W64_BUF is None or _W64_BUF.shape[1] != k:
+        _W64_BUF = np.empty((_SHINGLE_CHUNK, k), dtype=np.uint64)
     for s in range(0, n, _SHINGLE_CHUNK):
-        w64 = windows[s : s + _SHINGLE_CHUNK].astype(np.uint64)
+        m = min(_SHINGLE_CHUNK, n - s)
+        w64 = _W64_BUF[:m]  # reused buffer: no per-chunk allocator churn
+        np.copyto(w64, windows[s : s + m], casting="safe")
         w64 += np.uint64(1)
-        hashes[s : s + _SHINGLE_CHUNK] = w64 @ powers  # wraps mod 2**64
+        np.matmul(w64, powers, out=hashes[s : s + m])  # wraps mod 2**64
     return np.unique(hashes)
 
 
@@ -113,6 +118,7 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
 # same minima, just computed 16 permutations at a time.
 _SHINGLE_CHUNK = 1024
 _PERM_BLOCK = 16
+_W64_BUF = None  # reused (chunk × k) shingle-window buffer
 
 
 def minhash_py(text: str, cfg: DedupConfig = DEFAULT_CONFIG) -> np.ndarray:
@@ -144,17 +150,34 @@ def band_hashes_py(sig: np.ndarray, cfg: DedupConfig = DEFAULT_CONFIG) -> np.nda
 # pandas UDF factories (Arrow-batched; Series -> Series)
 # ---------------------------------------------------------------------------
 
+_VALS_BUF = None  # reused (chunk × perm-block) product buffer, see below
+
+
 def _minhash_from_shingles(sh: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    # The product temp is REUSED across calls via out= (module-level
+    # buffer, one per worker process): a fresh 128 KiB numpy alloc per
+    # perm-block sits exactly at glibc's mmap threshold, so the old
+    # code paid mmap+munmap+page-zeroing ~32 times per doc — kernel
+    # time that serializes across 32 concurrent workers (the measured
+    # 36-51% system-time bursts; per-core kernel throughput dropped
+    # 1.3-1.4x from 8 to 32 workers).  Buffer reuse keeps the temp hot
+    # in the private L2 with zero allocator traffic.  Bit-identical.
+    global _VALS_BUF
     a, b = _perm_params(cfg.minhash_perms)
     if sh.size == 0:
         return np.full(cfg.minhash_perms, np.iinfo(np.int32).max, dtype=np.int32)
+    if _VALS_BUF is None or _VALS_BUF.shape[1] < _PERM_BLOCK:
+        _VALS_BUF = np.empty((_SHINGLE_CHUNK, _PERM_BLOCK), dtype=np.uint64)
     mins = np.full(cfg.minhash_perms, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     for start in range(0, sh.size, _SHINGLE_CHUNK):
         chunk = sh[start : start + _SHINGLE_CHUNK]
         col = chunk[:, None]
+        n = chunk.size
         for p0 in range(0, cfg.minhash_perms, _PERM_BLOCK):
             p1 = p0 + _PERM_BLOCK
-            vals = col * a[None, p0:p1] + b[None, p0:p1]
+            vals = _VALS_BUF[:n, : p1 - p0]
+            np.multiply(col, a[None, p0:p1], out=vals)
+            vals += b[None, p0:p1]
             np.minimum(mins[p0:p1], vals.min(axis=0), out=mins[p0:p1])
     return (mins >> np.uint64(33)).astype(np.int32)
 

@@ -24,13 +24,32 @@ def build_session(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    shuffle = max(config.shuffle_partitions, cpus)
+    # 4 task waves per core, not 1: with shuffle partitions == cores a
+    # stage is gated by its single slowest task (GC pause, content
+    # skew), which hits the wide leg hardest — local[8] gets 4
+    # self-balancing waves from the same count while local[32] got one.
+    # Measured at 468k files/local[32]: signature stage 103s -> 87.5s.
+    # parallelismFirst=false + a 16 MiB advisory keeps AQE from
+    # coalescing the big-stage partitions back down to one wave while
+    # still collapsing genuinely tiny shuffles.
+    shuffle = max(config.shuffle_partitions, 4 * cpus)
+    # glibc maps-then-unmaps every allocation at/above 128 KiB; numpy
+    # kernel temps in the signature stage sit right at that threshold,
+    # so each of the 32 python workers paid mmap+page-zeroing kernel
+    # time per chunk — serializing in the kernel across workers (the
+    # system-time bursts in BENCH/SCALING.md's forensics).  Raise the
+    # threshold so worker allocators keep and reuse those arenas; the
+    # daemon-forked workers inherit this environment in local mode.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(64 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(64 * 1024 * 1024))
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
