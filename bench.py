@@ -334,6 +334,15 @@ def run_scaling_paired(sf_dir: str) -> None:
     n_bases = int(os.environ.get("SPARK_GRAFT_BENCH_BASES", "360000"))
     corpus_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
     n_pairs = int(os.environ.get("SPARK_GRAFT_PAIRS", "6"))
+    # leg sizes: default 8 vs 32 threads; SPARK_GRAFT_LEGS="2,8" runs
+    # the bandwidth-uncontended 2-vs-8 variant (N vs 4N in the regime
+    # where one box approximates independent executors: total load
+    # <= 25% of cores leaves DRAM bandwidth per core constant between
+    # the legs, which is what adding executor MACHINES does on a real
+    # cluster; 8v32 on one box shares a fixed memory system instead)
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_LEGS", "8,32").split(",")
+    )
     corpus_path = os.path.join(corpus_dir, f"bench_corpus_{n_bases}_18")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         gen = (
@@ -353,7 +362,7 @@ def run_scaling_paired(sf_dir: str) -> None:
         "SPARK_GRAFT_BENCH_CORPUS": corpus_path,
     }
     procs: dict[int, subprocess.Popen] = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         cmd = [sys.executable, os.path.abspath(__file__), "--leg-server"]
         if os.path.exists("/usr/bin/taskset"):
             # pin the WHOLE process tree (JVM + python workers): plain
@@ -379,7 +388,7 @@ def run_scaling_paired(sf_dir: str) -> None:
         with open(path) as f:
             return json.load(f)
 
-    ready = {c: _wait_for(os.path.join(ctrl, f"ready_{c}.json"), c) for c in (8, 32)}
+    ready = {c: _wait_for(os.path.join(ctrl, f"ready_{c}.json"), c) for c in (lo, hi)}
     print(f"legs warm: {ready}", file=sys.stderr)
 
     def one(cpus: int, i: int, mode: str = "normal") -> dict:
@@ -387,24 +396,25 @@ def run_scaling_paired(sf_dir: str) -> None:
             f.write(mode)
         return _wait_for(os.path.join(ctrl, f"res_{cpus}_{i}.json"), cpus)
 
-    series: dict[int, list[float]] = {8: [], 32: []}
+    series: dict[int, list[float]] = {lo: [], hi: []}
     pair_eff: list[float] = []
+    ratio = hi / lo
     for i in range(n_pairs):
-        order = (8, 32) if i % 2 == 0 else (32, 8)  # ABBA
+        order = (lo, hi) if i % 2 == 0 else (hi, lo)  # ABBA
         walls = {}
         for cpus in order:
             walls[cpus] = one(cpus, i)["wall_s"]
             series[cpus].append(walls[cpus])
-        pair_eff.append(round((walls[8] / walls[32]) / 4, 3))
+        pair_eff.append(round((walls[lo] / walls[hi]) / ratio, 3))
         print(
-            f"pair {i} ({order[0]} first): T8={walls[8]} T32={walls[32]}"
+            f"pair {i} ({order[0]} first): T{lo}={walls[lo]} T{hi}={walls[hi]}"
             f" eff={pair_eff[-1]}",
             file=sys.stderr,
         )
     # one traced run per leg feeds the per-stage 8-vs-32 table; skip
     # via SPARK_GRAFT_TRACED=0 when the wall-clock budget is tight
     if os.environ.get("SPARK_GRAFT_TRACED", "1") != "0":
-        traced = {c: one(c, n_pairs, "traced") for c in (8, 32)}
+        traced = {c: one(c, n_pairs, "traced") for c in (lo, hi)}
     else:
         traced = {}
     with open(os.path.join(ctrl, "stop"), "w") as f:
@@ -419,9 +429,10 @@ def run_scaling_paired(sf_dir: str) -> None:
         if n % 2
         else (eff_sorted[n // 2 - 1] + eff_sorted[n // 2]) / 2
     )
-    docs = ready[32]["docs"]
+    docs = ready[hi]["docs"]
     raw = {
         "protocol": "paired-interleave ABBA, median of per-pair efficiencies",
+        "legs": [lo, hi],
         "pairs": n_pairs,
         "pair_efficiencies": pair_eff,
         "median_efficiency": round(median_eff, 3),
