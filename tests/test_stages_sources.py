@@ -674,3 +674,37 @@ class TestSimilaritySearch:
         got = {(r.query_id, r.match_id) for r in ann.where(F.col("query_id") < 30).collect()}
         recall = len(truth & got) / len(truth)
         assert recall >= 0.95, f"SRP top-1@5 recall {recall}"
+
+    def test_cosine_pairs_exact_matches_numpy(self, spark):
+        """Block-tiled threshold join == single-matmul numpy referee,
+        with block_rows tiny so pairs MUST cross tile boundaries, plus
+        a zero vector (never matches) and an exact copy (cosine 1)."""
+        import numpy as np
+
+        from photo_dedup_spark.operators.similarity import cosine_pairs_exact
+
+        rng = np.random.RandomState(11)
+        vecs = rng.standard_normal((40, 8))
+        vecs[7] = vecs[3]            # exact dup pair (3, 7)
+        vecs[12] = vecs[5] * 2.5     # scaled copy: cosine 1 → pair (5, 12)
+        vecs[20] = 0.0               # zero norm: must never match
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        tau = 0.8
+        got = {
+            (r.a_id, r.b_id)
+            for r in cosine_pairs_exact(df, tau=tau, block_rows=6).collect()
+        }
+        norms = np.linalg.norm(vecs, axis=1)
+        den = norms[:, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(den > 0, (vecs @ vecs.T) / den, 0.0)
+        want = {
+            (i, j)
+            for i in range(40)
+            for j in range(i + 1, 40)
+            if sims[i, j] >= tau
+        }
+        assert got == want
+        assert (3, 7) in got and (5, 12) in got
+        assert not any(20 in p for p in got)
