@@ -462,6 +462,99 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+_WINNOW_W = 4  # winnow window, in grams (Schleimer et al., MOSS)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every token 3-gram, slide a window of w=4 consecutive gram
+    hashes, record the minimum of each window — guaranteeing any shared
+    run of w+k-1 tokens between two documents shares a fingerprint.
+
+    Engine-parity construction: the gram hash is the first 16 hex chars
+    of sha256 (identical text → identical hex in Spark and DuckDB), and
+    ties are broken deterministically by SMALLEST position via a
+    composite sort key ``hash#zero-padded-pos`` (a documented variant of
+    the paper's rightmost rule; coverage guarantee unchanged).  Windows
+    are per-document, so the whole operator is one partitionBy(doc_id)
+    window pass — no shuffle beyond the doc partitioning, linear in
+    corpus size, and the fingerprint set is ~2/(w+1) the gram count.
+    Documents with fewer than w grams degrade to their single overall
+    min (degrade-don't-drop).  Output is distinct
+    (doc_id, fp_hash, fp_pos) — 1-based gram position."""
+    w = _WINNOW_W
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        (F.size("t") - 2).alias("m"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("pos0", "gram"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "m",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat(
+            F.substring(F.sha2(F.col("gram"), 256), 1, 16),
+            F.lit("#"),
+            F.lpad((F.col("pos0") + 1).cast("string"), 10, "0"),
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            Window.currentRow, w - 1
+        )
+    )
+    return (
+        keyed.withColumn("winkey", F.min("key").over(win))
+        .where(F.col("pos") <= F.greatest(F.lit(1), F.col("m") - F.lit(w - 1)))
+        .select(
+            "doc_id",
+            F.substring("winkey", 1, 16).alias("fp_hash"),
+            F.substring("winkey", 18, 10).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+), g AS (
+  SELECT doc_id, len(t) - 2 AS m,
+         unnest([{{'p': i,
+                   'k': substring(sha256(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16)
+                        || '#' || lpad(CAST(i AS VARCHAR), 10, '0')}}
+                 for i in range(1, len(t)-1)]) AS x
+  FROM toks WHERE len(t) >= 3
+), sel AS (
+  SELECT doc_id, m, x.p AS pos,
+         MIN(x.k) OVER (PARTITION BY doc_id ORDER BY x.p
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS winkey
+  FROM g
+)
+SELECT DISTINCT doc_id,
+       substring(winkey, 1, 16) AS fp_hash,
+       CAST(substring(winkey, 18, 10) AS INTEGER) AS fp_pos
+FROM sel WHERE pos <= greatest(1, m - {_WINNOW_W - 1})
+"""
+
+
 def q_strict_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 strict-verify re-split: normalized-key clusters split by raw
     sha256 into byte-identical subgroups (scanner.py:645-695); the
@@ -1694,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
         "ppjoin_pairs": q_ppjoin_pairs,
@@ -1740,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_counts": SQL_QUALITY_COUNTS,
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
+        "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "ppjoin_pairs": SQL_PPJOIN_PAIRS,

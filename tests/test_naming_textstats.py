@@ -143,3 +143,44 @@ class TestTextStats:
         ]
         assert fps[0] == fps[1] == fps[2]
         assert fps[3] != fps[0]
+
+
+class TestWinnowFingerprints:
+    """Property gates for the true-winnowing query (T13): the MOSS
+    guarantee — any shared token run of length >= w + k - 1 (= 6 here)
+    yields a shared fingerprint hash — plus short-doc degrade."""
+
+    def _fps(self, spark, tmp_path, texts):
+        import __spark_entry__ as m
+
+        df = spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        sf = str(tmp_path / "sf")
+        df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        out = m.q_winnow_fingerprints(spark, sf)
+        res = {}
+        for r in out.collect():
+            res.setdefault(r.doc_id, set()).add(r.fp_hash)
+        return res
+
+    def test_shared_run_shares_fingerprint(self, spark, tmp_path):
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+        a = "one two three " + shared + " four five six"
+        b = "seven eight " + shared + " nine ten eleven twelve"
+        res = self._fps(spark, tmp_path, [a, b])
+        assert res[0] & res[1], "shared 6-token run must share a fingerprint"
+
+    def test_disjoint_docs_share_nothing(self, spark, tmp_path):
+        res = self._fps(
+            spark,
+            tmp_path,
+            ["aa bb cc dd ee ff gg", "hh ii jj kk ll mm nn"],
+        )
+        assert not (res[0] & res[1])
+
+    def test_short_doc_degrades_to_single_min(self, spark, tmp_path):
+        # 4 tokens -> 2 grams < w: exactly one fingerprint, not zero
+        res = self._fps(spark, tmp_path, ["a b c d"])
+        assert len(res[0]) == 1
