@@ -447,6 +447,53 @@ def run_scaling_paired(sf_dir: str) -> None:
     print(json.dumps({"scaling_efficiency": round(median_eff, 3), "pair_efficiencies": pair_eff}))
 
 
+def run_staged(sf_dir: str, cpus: int) -> None:
+    """One staged-pipeline run (parquet checkpoints + per-stage
+    metrics) on the bench corpus — turns scaling disputes into
+    arithmetic: run at two $SPARK_GRAFT_CPUS values and diff the
+    per-stage walls from each stage's _metrics.json (VERDICT r3 #7).
+    Also exercises resume at bench scale: a second invocation with the
+    same work dir reuses every finished stage (reused=True rows)."""
+    import shutil
+
+    from photo_dedup_spark.session import build_session
+    from photo_dedup_spark.staged import run_staged_pipeline
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(app_name=f"staged-{cpus}")
+    spark.sparkContext.setLogLevel("WARN")
+    corpus = os.environ.get("SPARK_GRAFT_BENCH_CORPUS")
+    work = os.environ.get(
+        "SPARK_GRAFT_STAGED_DIR", f"/tmp/spark_graft_staged_{cpus}"
+    )
+    if os.environ.get("SPARK_GRAFT_STAGED_FRESH", "1") == "1" and os.path.isdir(work):
+        shutil.rmtree(work)
+    files = (
+        spark.read.parquet(corpus)
+        if corpus
+        else entry_mod._docs_as_files(spark, sf_dir)
+    )
+    t0 = time.monotonic()
+    assignments, runner = run_staged_pipeline(
+        spark, files, work, entry_mod.ENTRY_CONFIG
+    )
+    n = assignments.count()
+    wall = round(time.monotonic() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "mode": "staged",
+                "cpus": cpus,
+                "rows": n,
+                "wall_s": wall,
+                "work_dir": work,
+                "stages": runner.summary(),
+            }
+        )
+    )
+    spark.stop()
+
+
 def run_single_pipeline(sf_dir: str, cpus: int) -> None:
     """One flagship-pipeline run (used by --scaling subprocesses).
 
@@ -541,5 +588,7 @@ if __name__ == "__main__":
         run_scaling(sf_dir)
     elif "--single-pipeline" in sys.argv:
         run_single_pipeline(sf_dir, cpus)
+    elif "--staged" in sys.argv:
+        run_staged(sf_dir, cpus)
     else:
         print(json.dumps(run_bench(sf_dir, cpus)))
