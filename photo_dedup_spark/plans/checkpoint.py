@@ -7,10 +7,11 @@ batching (cleaner.py:53,324-335), and a guard that refuses to operate
 over an incomplete log (cleaner.py:694-705).
 
 Our analog, scaled to a staged Spark job: every stage writes parquet +
-``_metrics.json`` (rows in/out, wall-time, config-hash); a stage is
-valid iff parquet ``_SUCCESS`` exists, metrics parse, and the config
-hash matches.  A rerun resumes after the longest valid prefix — never
-silently over a half-written checkpoint.
+``_metrics.json`` (rows out, wall-time, config-hash, and PER-PARTITION
+row counts with a skew ratio — the north rule's "per-partition lineage
++ metrics"); a stage is valid iff parquet ``_SUCCESS`` exists, metrics
+parse, and the config hash matches.  A rerun resumes after the longest
+valid prefix — never silently over a half-written checkpoint.
 """
 
 from __future__ import annotations
@@ -91,14 +92,37 @@ class StageRunner:
         df = build()
         df.write.mode("overwrite").parquet(data_dir)
         out = self.spark.read.parquet(data_dir)
-        rows = out.count()
+        # per-PARTITION lineage in one job (the row count is its sum):
+        # partition row counts make skew visible per stage and give the
+        # resume path a finer-grained integrity record than a bare total
+        from pyspark.sql import functions as F
+
+        part_counts = {
+            int(r["pid"]): int(r["count"])
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        }
+        rows = sum(part_counts.values())
         wall = time.monotonic() - t0
+        counts = sorted(part_counts.values())
+        lineage = {
+            "n_partitions": len(part_counts),
+            "rows_min": counts[0] if counts else 0,
+            "rows_max": counts[-1] if counts else 0,
+            "skew": round(counts[-1] * len(counts) / max(1, rows), 3)
+            if counts
+            else 0.0,
+        }
+        if len(part_counts) <= 512:
+            lineage["partition_rows"] = part_counts
         meta = {
             "stage": name,
             "config_hash": self.config_hash,
             "rows_out": rows,
             "wall_s": round(wall, 3),
             "partitions": out.rdd.getNumPartitions(),
+            "partition_lineage": lineage,
             "ts": time.time(),
         }
         meta.update(extra_metrics or {})
