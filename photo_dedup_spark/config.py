@@ -55,6 +55,19 @@ class DedupConfig:
     split_bucket_target: int = 2_048
     # --- execution ---
     shuffle_partitions: int = 32
+    # Re-attaching content to group representatives joins the raw scan
+    # (huge, content-bearing) to the content-free rep table.  Left to
+    # AQE, the conversion to a broadcast join happens only AFTER both
+    # sides have shuffled — i.e. the full corpus content crosses an
+    # exchange once before AQE notices the rep side is tiny, and that
+    # content shuffle runs concurrently with (and memory-starves) the
+    # keys scan.  When the INPUT is provably small (total scan bytes at
+    # or under this cap ⇒ the rep table is a few hundred MB at worst),
+    # the rep side is statically hinted broadcast so content never
+    # shuffles at all.  Above the cap — any real cluster corpus — the
+    # hint is withheld and the shuffle join (or AQE) proceeds, because
+    # a 10^12-row rep table can never broadcast.
+    broadcast_reps_max_input_bytes: int = 8 * 1024 * 1024 * 1024
     arrow_max_records: int = 2_000  # keep content batches ≲ 256 MiB
     cc_max_iters: int = 50
     # convergence checks are the CC loop's only blocking actions: each

@@ -214,7 +214,23 @@ def rep_verify_split(
             out_labels.append(label)
         return pd.DataFrame({"doc_id": out_ids, "cluster_id": out_labels})
 
-    return members.groupBy("comp_id", "bucket").applyInPandas(_split, _SPLIT_SCHEMA)
+    # Pin the grouped-map's partitioning explicitly: the greedy is
+    # Python-CPU-heavy per BYTE (sketches are small, the work is not),
+    # so AQE's size-based coalescing — tuned for JVM stages where bytes
+    # ≈ work — squeezed the whole split into ~6 tasks at 16 MiB each
+    # (measured: 90 core-s of split work gated by one 19 s task while
+    # the other cores idled, BENCH/SCALING.md r4).  An explicit
+    # numPartitions repartition on the exact grouping key is immune to
+    # AQE coalescing and satisfies the grouped-map's clustering
+    # requirement, so no second exchange is inserted.
+    n_parts = int(
+        members.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        members.repartition(n_parts, "comp_id", "bucket")
+        .groupBy("comp_id", "bucket")
+        .applyInPandas(_split, _SPLIT_SCHEMA)
+    )
 
 
 def oversized_component_count(comp_labels: DataFrame, cfg: DedupConfig) -> int:

@@ -63,6 +63,32 @@ class PipelineResult:
     metrics: dict
 
 
+def _input_bytes(files: DataFrame) -> int | None:
+    """Total on-disk size of the scan feeding *files*, or None when it
+    cannot be established cheaply (non-file source, synthesized frame,
+    remote filesystem).  Used only to decide whether the rep table is
+    safely broadcastable — None degrades to the shuffle-join path."""
+    try:
+        paths = files.inputFiles()
+    except Exception:  # non-scan plans (createDataFrame, streaming)
+        return None
+    if not paths:
+        return None
+    total = 0
+    for p in paths:
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        elif "://" in p:
+            return None  # remote FS: no cheap local stat — no hint
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
 def ingest(
     files: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
@@ -197,15 +223,30 @@ def run_pipeline(
         F.col("m.n_chars").alias("n_chars"),
     )
     # re-attach content for representatives only: join the content-free
-    # rep table back to the raw scan on doc_id — content is never
-    # re-normalized, and with the rep table under the broadcast
-    # threshold (AQE converts at runtime) it never shuffles either.
-    # At cluster scale past the threshold this degrades to a shuffle
-    # join on doc_id — still exactly one normalize pass.
-    reps = docs.select("doc_id", "content").join(reps_lite, "doc_id")
+    # rep table back to the raw scan on doc_id.  The rep side is
+    # statically hinted broadcast when the input scan is provably small
+    # (cfg.broadcast_reps_max_input_bytes): relying on AQE here is not
+    # enough — AQE converts to a broadcast join only after BOTH sides
+    # have shuffled, so the full corpus content would cross an exchange
+    # once, and that content shuffle runs concurrently with the keys
+    # scan, inflating its CPU ~3x under memory-bandwidth contention
+    # (measured 2-vs-8-core, BENCH/SCALING.md).  Past the cap — real
+    # cluster corpora — the hint is withheld and this degrades to a
+    # shuffle join on doc_id: still exactly one normalize pass.
+    in_bytes = _input_bytes(files)
+    hint_broadcast = (
+        in_bytes is not None and in_bytes <= cfg.broadcast_reps_max_input_bytes
+    )
+    reps_side = F.broadcast(reps_lite) if hint_broadcast else reps_lite
+    reps = docs.select("doc_id", "content").join(reps_side, "doc_id")
     # member → representative mapping; pure checkpointed-column join
+    rep_side = (
+        F.broadcast(reps_lite.select("norm_key", F.col("doc_id").alias("rep_id")))
+        if hint_broadcast
+        else reps_lite.select("norm_key", F.col("doc_id").alias("rep_id"))
+    )
     rep_map = keyed_lite.select("doc_id", "norm_key").join(
-        reps_lite.select("norm_key", F.col("doc_id").alias("rep_id")), "norm_key"
+        rep_side, "norm_key"
     ).select("doc_id", "rep_id")
     _mark("keys")
 

@@ -33,6 +33,16 @@ def build_session(
     # coalescing the big-stage partitions back down to one wave while
     # still collapsing genuinely tiny shuffles.
     shuffle = max(config.shuffle_partitions, 4 * cpus)
+    # Scan-side wave balancing, same rule as the shuffle side: the
+    # default split planning packs small inputs into ~totalSize/128MiB
+    # partitions, which left the keys scan (parquet → normalize+sha)
+    # running as a SINGLE 8-task wave at local[8] and 8 tasks on 32
+    # cores at local[32] — the stage is gated by its slowest task and
+    # the wide leg idles.  minPartitionNum is a *minimum* split count:
+    # small inputs split into ≥ 4 waves per core while the 128 MiB
+    # maxPartitionBytes cap still bounds per-task memory on real
+    # multi-TB inputs (where totalSize/128MiB ≫ this floor anyway).
+    min_scan_parts = 4 * cpus
     # glibc maps-then-unmaps every allocation at/above 128 KiB; numpy
     # kernel temps in the signature stage sit right at that threshold,
     # so each of the 32 python workers paid mmap+page-zeroing kernel
@@ -46,6 +56,7 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.files.minPartitionNum", str(min_scan_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
