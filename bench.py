@@ -361,14 +361,25 @@ def run_scaling_paired(sf_dir: str) -> None:
         "SPARK_GRAFT_CTRL_DIR": ctrl,
         "SPARK_GRAFT_BENCH_CORPUS": corpus_path,
     }
+    n_cores = os.cpu_count() or 32
     procs: dict[int, subprocess.Popen] = {}
     for cpus in (lo, hi):
         cmd = [sys.executable, os.path.abspath(__file__), "--leg-server"]
         if os.path.exists("/usr/bin/taskset"):
             # pin the WHOLE process tree (JVM + python workers): plain
             # local[8] on a 32-core box lets GC/shuffle/Arrow threads
-            # spill onto the other 24 cores and understates scaling
-            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+            # spill onto the other 24 cores and understates scaling.
+            # The two legs get DISJOINT core sets when they fit (lo leg
+            # on the top cores, hi leg from core 0): with nested sets
+            # the idle leg's JVM (GC/heartbeat threads, poll loop) sits
+            # INSIDE the measuring leg's cores — measured ~3% drag on
+            # the wide leg — and the legs' warmup runs, which execute
+            # concurrently, contend directly.
+            if lo + hi <= n_cores and cpus == lo:
+                cores = f"{n_cores - lo}-{n_cores - 1}"
+            else:
+                cores = f"0-{cpus - 1}"
+            cmd = ["/usr/bin/taskset", "-c", cores] + cmd
         log = open(os.path.join(ctrl, f"leg_{cpus}.log"), "w")
         procs[cpus] = subprocess.Popen(
             cmd,
