@@ -1720,6 +1720,23 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_srp(emb, k=3, n_bits=6, n_tables=4)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k — the data-ADAPTIVE scale path beside the
+    data-oblivious SRP one: spherical-k-means coarse quantizer trained
+    on a bounded deterministic sample (driver holds only sample×dim
+    floats at any corpus size), distributed Arrow-matmul assignment,
+    nprobe Voronoi-cell probing through a per-cell salted join
+    (degrade-don't-explode, same contract as the LSH pair engine).
+    Rows-only (iterative k-means has no SQL oracle); recall gated in
+    tests/test_stages_sources.py against the brute-force referee and
+    golden-pinned.  Reference analog: scanner.py's BK-tree search
+    tier, re-expressed as a learned-partition ANN."""
+    from photo_dedup_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_ivf(emb, k=3, nprobe=8)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (exact threshold join) —
     the fifth leg of the dedup family (exact sha / MinHash-LSH /
@@ -1812,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "action_plan": q_action_plan,
         "ann_srp_topk": q_ann_srp_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
     }

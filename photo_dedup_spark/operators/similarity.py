@@ -256,3 +256,188 @@ def cosine_topk_srp(
     if with_stats:
         return topk, bucket_stats
     return topk
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids for the IVF index, trained on a
+    deterministic bounded sample.
+
+    Scale contract: the TRAINING set is capped at ``sample_rows``
+    (hash-ordered, so the same rows are chosen regardless of
+    partitioning or cluster size) — at 100 TB the driver still
+    collects only ``sample_rows × dim`` floats, and the resulting
+    ``n_cells × dim`` centroid matrix is a broadcast-sized model.
+    This is standard IVF practice (FAISS trains coarse quantizers on
+    a corpus sample); the full corpus is touched only by the
+    distributed ASSIGN step in :func:`cosine_topk_ivf`.
+
+    Returns L2-normalized centroids, shape ``(n_cells, dim)``.
+    """
+    sample = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy(F.pmod(F.hash(F.col("id")), F.lit(1_000_003)), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([np.asarray(r.vec, dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    n = len(x)
+    n_cells = min(n_cells, n)
+    rng = np.random.RandomState(seed)
+
+    # k-means++ init on the sample (distances = 1 - cosine).
+    cent = np.empty((n_cells, x.shape[1]))
+    cent[0] = x[rng.randint(n)]
+    d2 = 1.0 - x @ cent[0]
+    for c in range(1, n_cells):
+        probs = np.maximum(d2, 0)
+        total = probs.sum()
+        idx = rng.randint(n) if total <= 0 else rng.choice(n, p=probs / total)
+        cent[c] = x[idx]
+        d2 = np.minimum(d2, 1.0 - x @ cent[c])
+
+    for _ in range(iters):
+        sims = x @ cent.T                       # (n, n_cells)
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, x)
+        counts = np.bincount(assign, minlength=n_cells)
+        empty = counts == 0
+        if empty.any():
+            # re-seed empty cells with the worst-fit points (deterministic)
+            worst = np.argsort(sims.max(axis=1))[: int(empty.sum())]
+            new[empty] = x[worst]
+            counts[empty] = 1
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0] = 1.0
+        cent = new / norms[:, None]
+    return cent
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    sample_rows: int = 4096,
+    salt_threshold: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_stats: bool = False,
+):
+    """IVF (inverted-file) ANN top-k — the data-ADAPTIVE scale path,
+    complementing the data-oblivious SRP one (:func:`cosine_topk_srp`).
+
+    Where SRP cuts space with fixed random hyperplanes, IVF learns a
+    coarse quantizer from the data itself: spherical-k-means centroids
+    partition the corpus into Voronoi cells, each query probes only
+    its ``nprobe`` nearest cells, and scoring happens within probed
+    cells.  On clustered real-world embeddings (the 100 TB case) the
+    scanned fraction is ~nprobe/n_cells; on adversarially uniform
+    vectors recall degrades gracefully with nprobe — the recall gate
+    in tests measures exactly this worst case against the brute-force
+    referee.
+
+    Physical plan (all distributed, centroids are the only
+    driver-side state):
+
+    1. train centroids on a bounded deterministic sample (driver
+       numpy, broadcast model — see :func:`train_ivf_centroids`);
+    2. ASSIGN: one Arrow-batch matmul per partition maps every vector
+       to its cell (pandas UDF, closure-broadcast centroids);
+    3. PROBE: the same matmul keeps each query's top-``nprobe`` cells
+       (posexplode → (query, cell) rows);
+    4. salted cell join: a per-cell census (``n_cells`` rows,
+       broadcast) gives each hot cell ``ceil(size/salt_threshold)``
+       salts; corpus rows take ``hash(id) % salts`` and probe rows
+       explode over all salts of that cell, so no task scores more
+       than ``salt_threshold`` corpus rows — the same
+       degrade-don't-explode contract as the LSH pair engine;
+    5. score within (cell, salt) via the Arrow cosine UDF, window
+       top-k per query.
+
+    ``n_cells`` defaults to ``ceil(sqrt(N))`` (the classic IVF
+    balance: probe work ~ nprobe·sqrt(N), assignment work ~
+    N·sqrt(N) flops inside BLAS).  ``with_stats=True`` additionally
+    returns the per-cell census so cell skew is observable.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
+    )
+    if n_cells is None:
+        n = base.count()
+        n_cells = max(4, int(np.ceil(np.sqrt(max(1, n)))))
+    cent = train_ivf_centroids(
+        base, n_cells, sample_rows=sample_rows, seed=seed,
+        id_col="doc_id", vec_col="vec",
+    )
+    cent_t = cent.T  # (dim, n_cells)
+    nprobe = min(nprobe, cent.shape[0])
+
+    @F.pandas_udf("long")
+    def _assign(vec: pd.Series) -> pd.Series:
+        vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        nrm = np.linalg.norm(vm, axis=1)
+        nrm[nrm == 0] = 1.0
+        return pd.Series((vm / nrm[:, None] @ cent_t).argmax(axis=1))
+
+    @F.pandas_udf("array<long>")
+    def _probe(vec: pd.Series) -> pd.Series:
+        vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        nrm = np.linalg.norm(vm, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = vm / nrm[:, None] @ cent_t
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series(list(top))
+
+    corpus = base.withColumn("cell", _assign(F.col("vec")))
+    census = corpus.groupBy("cell").agg(F.count("*").alias("cell_n"))
+    salts = census.select(
+        "cell",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("cell_n") / F.lit(salt_threshold))
+        ).cast("int").alias("n_salts"),
+        "cell_n",
+    )
+    corpus_s = corpus.join(F.broadcast(salts.select("cell", "n_salts")), "cell").select(
+        "cell",
+        F.pmod(F.hash("doc_id"), F.col("n_salts")).cast("int").alias("salt"),
+        F.col("doc_id").alias("match_id"),
+        F.col("vec").alias("cvec"),
+    )
+    probes = (
+        base.select("doc_id", "vec", F.explode(_probe(F.col("vec"))).alias("cell"))
+        .join(F.broadcast(salts.select("cell", "n_salts")), "cell")
+        .select(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
+            F.col("doc_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+        )
+    )
+    scored = (
+        probes.repartition("cell", "salt")
+        .join(corpus_s, ["cell", "salt"])
+        .where(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine", _cosine_udf(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "match_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+    if with_stats:
+        return topk, salts.select("cell", "cell_n", "n_salts")
+    return topk

@@ -31,6 +31,7 @@ PINNED = [
     "near_dup_clusters",
     "action_plan",
     "ann_srp_topk",
+    "ann_ivf_topk",
     "media_features",
     "video_frames",
 ]

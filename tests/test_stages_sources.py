@@ -675,6 +675,83 @@ class TestSimilaritySearch:
         recall = len(truth & got) / len(truth)
         assert recall >= 0.95, f"SRP top-1@5 recall {recall}"
 
+    def test_ivf_planted_twins_and_uniform_recall(self, spark):
+        """IVF (data-adaptive coarse quantizer) — two contracts:
+
+        1. clustered data (the 100 TB case): a planted near-twin
+           (cosine ≈ 0.98) lands in the same Voronoi cell as its
+           original, so nprobe=2 must find EVERY twin as top-1
+           (measured 56/56);
+        2. adversarially uniform vectors (all cosines ≈ 0.5, cell
+           membership barely informative): recall vs the brute-force
+           referee monotonically buyable with nprobe — measured
+           0.725 / 0.825 / 0.975 at nprobe 8/12/16 over ~23 cells;
+           gate at nprobe=16 ≥ 0.9.
+        """
+        from photo_dedup_spark.operators.similarity import (
+            cosine_topk_bruteforce,
+            cosine_topk_ivf,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        planted = emb.where(F.col("vec_id") % 9 == 0).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x * (1.0 + 0.2 * (((i + 1) % 3) - 1)),
+            ).alias("embedding"),
+        )
+        n_planted = planted.count()
+        topk = cosine_topk_ivf(emb.unionByName(planted), k=1, nprobe=2)
+        got = {
+            (r.query_id, r.match_id)
+            for r in topk.where(F.col("query_id") >= 1_000_000).collect()
+        }
+        hits = sum(1 for (q, m) in got if m == q - 1_000_000)
+        assert hits == n_planted, f"planted twins {hits}/{n_planted}"
+
+        exact = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 40), k=1)
+        truth = {(r.query_id, r.match_id) for r in exact.collect()}
+        ann = cosine_topk_ivf(emb, k=5, nprobe=16)
+        g = {
+            (r.query_id, r.match_id)
+            for r in ann.where(F.col("query_id") < 40).collect()
+        }
+        recall = len(truth & g) / len(truth)
+        assert recall >= 0.9, f"IVF uniform-case top-1@5 recall {recall}"
+
+    def test_ivf_salting_bounds_hot_cells(self, spark):
+        """A degenerate corpus (one dominant direction → one hot cell)
+        must salt: every cell's per-task corpus share stays ≤
+        salt_threshold, and results are identical to the unsalted
+        run (salting is a physical rewrite, not a semantic one)."""
+        import numpy as np
+
+        from photo_dedup_spark.operators.similarity import cosine_topk_ivf
+
+        rng = np.random.RandomState(7)
+        base_dir = rng.standard_normal(16)
+        rows = []
+        for i in range(300):
+            v = base_dir + 0.01 * rng.standard_normal(16)  # hot cluster
+            rows.append((i, [float(x) for x in v]))
+        for i in range(300, 340):
+            rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        salted, stats = cosine_topk_ivf(
+            emb, k=3, n_cells=8, nprobe=2, salt_threshold=64, with_stats=True
+        )
+        st = {r.cell: (r.cell_n, r.n_salts) for r in stats.collect()}
+        hot = max(st.values())
+        assert hot[0] > 64 and hot[1] == -(-hot[0] // 64), f"hot cell not salted: {hot}"
+        plain = cosine_topk_ivf(emb, k=3, n_cells=8, nprobe=2, salt_threshold=10**9)
+        a = {tuple(r) for r in salted.collect()}
+        b = {tuple(r) for r in plain.collect()}
+        assert a == b, "salting changed results"
+
     def test_cosine_pairs_exact_matches_numpy(self, spark):
         """Block-tiled threshold join == single-matmul numpy referee,
         with block_rows tiny so pairs MUST cross tile boundaries, plus
