@@ -921,10 +921,14 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-native physical strategy: candidates come from the df-capped
     inverted 3-gram index (a substring's interior grams are a subset of
     its container's, so any true pair shares a rare gram), then each
-    candidate is verified EXACTLY with JVM-side ``instr`` — for source-
-    file-sized documents a codegen'd scan beats building per-pair
-    suffix structures; a per-partition suffix array is the upgrade
-    path for multi-MB documents (noted, not needed at this payload).
+    candidate is verified EXACTLY by a size-tiered leg
+    (:func:`verify_substring_candidates`): JVM-side codegen'd ``instr``
+    for source-file-sized containers, and a REAL per-container suffix
+    array (numpy prefix doubling, one SA amortized over all of a
+    container's candidates — functions/suffixarray.py) past
+    ``_SA_MIN_CONTAINER_CHARS``, where multi-MB docs attracting many
+    candidates make per-pair scanning quadratic-ish.  Both legs verify
+    the identical relation; parity is pytest-gated.
     The sketch-containment verifier in the flagship pipeline
     (operators/verify.py) is the sampled production form of the same
     rule; this operator is its exact referee.
@@ -1012,17 +1016,51 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = aug.select(F.col("doc_id").alias("small_id"), F.col("text").alias("text_a"))
     tb = aug.select(F.col("doc_id").alias("big_id"), F.col("text").alias("text_b"))
-    return (
+    joined = (
         cand.join(ta, "small_id")
         .join(tb, "big_id")
-        .where(F.instr(F.col("text_b"), F.col("text_a")) > 0)
         .select(
             "small_id",
             "big_id",
+            "text_a",
+            "text_b",
             F.col("small_len").cast("long").alias("small_len"),
             F.col("big_len").cast("long").alias("big_len"),
         )
     )
+    return verify_substring_candidates(joined)
+
+
+# Container size (chars) above which the verify leg switches from the
+# codegen'd JVM instr scan (O(n·m) per pair, zero Python) to one
+# suffix array per container amortized over its candidates
+# (O(n log n) build + O(m log n) per pair) — the crossover where
+# multi-MB docs attracting many candidates (vendored libs, license
+# boilerplate) make per-pair scanning quadratic-ish.  sf payloads sit
+# far below it, so the driver query runs pure-JVM; the SA leg is
+# exercised (and parity-gated against instr) in tests/test_properties
+# and tests/test_stages_sources.
+_SA_MIN_CONTAINER_CHARS = 262_144
+
+
+def verify_substring_candidates(
+    joined: DataFrame, sa_min_chars: int = _SA_MIN_CONTAINER_CHARS
+) -> DataFrame:
+    """Exact substring verify, tiered by container size (see
+    _SA_MIN_CONTAINER_CHARS).  Both legs implement the same relation —
+    byte-level UTF-8 containment equals char-level containment because
+    UTF-8 is self-synchronizing — and the parity test asserts their
+    pair sets are identical on the same candidates."""
+    from photo_dedup_spark.functions.suffixarray import verify_containment_sa
+
+    out_cols = ["small_id", "big_id", "small_len", "big_len"]
+    instr_leg = (
+        joined.where(F.col("big_len") < sa_min_chars)
+        .where(F.instr(F.col("text_b"), F.col("text_a")) > 0)
+        .select(*out_cols)
+    )
+    sa_leg = verify_containment_sa(joined.where(F.col("big_len") >= sa_min_chars))
+    return instr_leg.unionByName(sa_leg)
 
 
 SQL_SUBSTRING_PAIRS = f"""

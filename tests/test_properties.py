@@ -209,6 +209,37 @@ class TestBandLocality:
         assert (band_hashes_py(a.copy(), CFG) == ha).all()
 
 
+class TestSuffixArrayProperties:
+    @settings(**_SETTINGS)
+    @given(st.binary(max_size=400))
+    def test_is_sorted_permutation_of_suffixes(self, data):
+        from photo_dedup_spark.functions.suffixarray import suffix_array
+
+        sa = suffix_array(data)
+        n = len(data)
+        assert sorted(sa.tolist()) == list(range(n))
+        suffixes = [data[i:] for i in sa]
+        assert suffixes == sorted(suffixes)
+
+    @settings(**_SETTINGS)
+    @given(st.binary(min_size=1, max_size=300), st.binary(max_size=8), st.data())
+    def test_find_agrees_with_bytes_in(self, text, needle, data):
+        """sa_find's containment verdict == python `in`, for both a
+        randomly drawn needle (usually absent) and a planted slice
+        (always present) — the exactness the SA verify leg claims."""
+        from photo_dedup_spark.functions.suffixarray import sa_find, suffix_array
+
+        sa = suffix_array(text)
+        pos = sa_find(text, sa, needle)
+        assert (pos >= 0) == (needle in text)
+        if pos >= 0:
+            assert text[pos : pos + len(needle)] == needle
+        i = data.draw(st.integers(0, len(text) - 1))
+        j = data.draw(st.integers(i, len(text)))
+        planted = text[i:j]
+        assert sa_find(text, sa, planted) >= 0
+
+
 class TestGifRoundtripProperty:
     @settings(max_examples=40, **_SETTINGS)
     @given(

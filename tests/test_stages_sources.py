@@ -655,6 +655,59 @@ class TestBlocking:
         assert splits[1] == splits[2] != splits[3]
 
 
+class TestSubstringVerifyLegs:
+    def test_sa_leg_bit_identical_to_instr_leg(self, spark):
+        """The size-tiered substring verify (q_substring_pairs): the
+        suffix-array leg and the JVM instr leg must produce IDENTICAL
+        pair sets on the same candidates — force all candidates down
+        each leg in turn and compare, plus a plain-python referee.
+        Containers here are large enough (~100 KB with many planted
+        candidates) that the SA build/amortize path really runs."""
+        import random
+
+        from __spark_entry__ import verify_substring_candidates
+
+        rng = random.Random(11)
+        alphabet = "abcdefg \n"
+        containers = {
+            bid: "".join(rng.choice(alphabet) for _ in range(100_000))
+            for bid in (1, 2)
+        }
+        rows, truth = [], set()
+        sid = 100
+        for bid, big in containers.items():
+            for _ in range(12):
+                if rng.random() < 0.5:  # planted slice — always present
+                    i = rng.randrange(0, len(big) - 200)
+                    small = big[i : i + rng.randrange(50, 200)]
+                else:  # random text — almost surely absent
+                    small = "".join(
+                        rng.choice(alphabet) for _ in range(80)
+                    )
+                rows.append((sid, bid, small, big, len(small), len(big)))
+                if small in big:
+                    truth.add((sid, bid))
+                sid += 1
+        joined = spark.createDataFrame(
+            rows,
+            "small_id long, big_id long, text_a string, text_b string, "
+            "small_len long, big_len long",
+        )
+        via_sa = {
+            (r.small_id, r.big_id)
+            for r in verify_substring_candidates(joined, sa_min_chars=0).collect()
+        }
+        via_instr = {
+            (r.small_id, r.big_id)
+            for r in verify_substring_candidates(
+                joined, sa_min_chars=10**9
+            ).collect()
+        }
+        assert via_sa == via_instr == truth
+        assert truth, "no planted positives — vacuous"
+        assert len(truth) < len(rows), "no negatives — vacuous"
+
+
 class TestSimilaritySearch:
     def test_srp_recall_vs_bruteforce(self, spark):
         from photo_dedup_spark.operators.similarity import (
