@@ -1,0 +1,327 @@
+"""Pure-stdlib/numpy FLAC decoder (audio tier of the multimodal layer).
+
+The reference delegates all media decoding to PIL and never touches
+audio (photo_dedup/hasher.py:95-154 is image-only); the audio tier
+comes from the training-data mandate.  Round 3 shipped PCM WAV only —
+this adds FLAC (the most common lossless compressed audio format in
+archival corpora), implemented from the format spec the same way the
+JPEG/PNG/GIF/WEBP/TIFF decoders were: no external codec libraries,
+typed ``ValueError`` on malformed input (the count-and-drop contract
+in functions/multimodal.py catches broadly either way).
+
+Supported: 8/12/16/20/24-bit, any channel count, all four channel
+assignments (independent / left-side / right-side / mid-side), all
+subframe types (CONSTANT / VERBATIM / FIXED 0-4 / LPC 1-32), both
+residual coding methods (RICE 4-bit / RICE2 5-bit) with partitions and
+escape codes, wasted bits, and both blocking strategies.  Frame-header
+CRC-8 and frame CRC-16 are VERIFIED, not skipped.
+
+Tests: tests/test_flac.py round-trips this decoder against its own
+minimal encoder (verbatim + fixed-predictor rice frames) and pins
+hand-computed bitstreams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame-header CRC)."""
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (FLAC frame CRC)."""
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+class _Bits:
+    """MSB-first bit reader over bytes (no byte-stuffing, unlike JPEG's)."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        while n > 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            byte = self.data[self.pos]
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code (corrupt FLAC)")
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _read_utf8_coded(bits: _Bits) -> int:
+    """FLAC's UTF-8-style coded frame/sample number (up to 36 bits)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise ValueError("invalid coded number in frame header")
+    v = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _read_residual(bits: _Bits, block_size: int, order: int) -> np.ndarray:
+    method = bits.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"reserved residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = bits.read(4)
+    if block_size % (1 << po):
+        raise ValueError("partition order does not divide block size")
+    out = np.empty(block_size - order, dtype=np.int64)
+    idx = 0
+    for part in range(1 << po):
+        n = (block_size >> po) - (order if part == 0 else 0)
+        if n < 0:
+            raise ValueError("predictor order exceeds first partition")
+        param = bits.read(plen)
+        if param == escape:
+            raw = bits.read(5)
+            for i in range(n):
+                out[idx + i] = bits.read_signed(raw) if raw else 0
+        else:
+            for i in range(n):
+                q = bits.unary()
+                low = bits.read(param) if param else 0
+                u = (q << param) | low
+                out[idx + i] = (u >> 1) ^ -(u & 1)  # zigzag
+        idx += n
+    return out
+
+
+def _read_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
+    if bits.read(1) != 0:
+        raise ValueError("invalid subframe padding bit")
+    t = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+        bps -= wasted
+    if t == 0:  # CONSTANT
+        out = np.full(block_size, bits.read_signed(bps), dtype=np.int64)
+    elif t == 1:  # VERBATIM
+        out = np.array(
+            [bits.read_signed(bps) for _ in range(block_size)], dtype=np.int64
+        )
+    elif 8 <= t <= 12:  # FIXED order 0-4
+        order = t - 8
+        warm = [bits.read_signed(bps) for _ in range(order)]
+        res = _read_residual(bits, block_size, order)
+        out = np.empty(block_size, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, block_size):
+            acc = res[i - order]
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out[i] = acc
+    elif t >= 32:  # LPC, order 1-32
+        order = t - 31
+        warm = [bits.read_signed(bps) for _ in range(order)]
+        precision = bits.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid LPC precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [bits.read_signed(precision) for _ in range(order)]
+        res = _read_residual(bits, block_size, order)
+        out = np.empty(block_size, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, block_size):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved subframe type {t}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def decode_flac(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """FLAC bytes → (sample_rate, n_samples, channels, mono float64
+    samples in [-1, 1]) — the same contract as ``decode_wav``."""
+    if data[:4] != b"fLaC":
+        raise ValueError("unsupported codec (not FLAC)")
+    pos = 4
+    streaminfo = None
+    last = False
+    while not last:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        hdr = data[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + size]
+        if btype == 0:
+            if len(body) < 34:
+                raise ValueError("short STREAMINFO")
+            streaminfo = body
+        pos += 4 + size
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    si = int.from_bytes(streaminfo[10:18], "big")
+    si_rate = (si >> 44) & 0xFFFFF
+    si_channels = ((si >> 41) & 0x7) + 1
+    si_bps = ((si >> 36) & 0x1F) + 1
+    total = si & 0xFFFFFFFFF
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(si_channels)]
+    got = 0
+    while pos < len(data) and (total == 0 or got < total):
+        frame_start = pos
+        bits = _Bits(data, pos)
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("lost frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        _read_utf8_coded(bits)
+        if bs_code == 0:
+            raise ValueError("reserved block size code")
+        elif bs_code == 6:
+            block_size = bits.read(8) + 1
+        elif bs_code == 7:
+            block_size = bits.read(16) + 1
+        else:
+            block_size = _BLOCK_SIZES[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid sample rate code")
+        if ss_code == 0:
+            bps = si_bps
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError(f"reserved sample size code {ss_code}")
+        if bits.bit:  # header fields always sum to whole bytes
+            raise ValueError("misaligned frame header")
+        header_end = bits.pos
+        crc_got = bits.read(8)
+        if crc8(data[frame_start:header_end]) != crc_got:
+            raise ValueError("frame header CRC-8 mismatch")
+
+        if ch_code < 8:
+            n_ch = ch_code + 1
+            sub_bps = [bps] * n_ch
+        elif ch_code in (8, 9, 10):
+            n_ch = 2
+            # the SIDE channel carries one extra bit
+            sub_bps = {8: [bps, bps + 1], 9: [bps + 1, bps], 10: [bps, bps + 1]}[
+                ch_code
+            ]
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        if n_ch != si_channels:
+            raise ValueError("frame channel count != STREAMINFO")
+
+        subs = [_read_subframe(bits, block_size, sub_bps[c]) for c in range(n_ch)]
+        bits.align()
+        crc16_got = bits.read(16)
+        if crc16(data[frame_start : bits.pos - 2]) != crc16_got:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = bits.pos
+
+        if ch_code == 8:  # left/side: right = left - side
+            subs = [subs[0], subs[0] - subs[1]]
+        elif ch_code == 9:  # right/side: left = right + side
+            subs = [subs[1] + subs[0], subs[1]]
+        elif ch_code == 10:  # mid/side
+            side = subs[1]
+            mid = (subs[0] << 1) | (side & 1)
+            subs = [(mid + side) >> 1, (mid - side) >> 1]
+        for c in range(si_channels):
+            chans[c].append(subs[c])
+        got += block_size
+
+    if not chans[0]:
+        raise ValueError("no audio frames")
+    per_ch = [np.concatenate(c) for c in chans]
+    if total:
+        per_ch = [c[:total] for c in per_ch]
+    mono = np.mean(per_ch, axis=0) / float(1 << (si_bps - 1))
+    return si_rate, per_ch[0].size, si_channels, mono

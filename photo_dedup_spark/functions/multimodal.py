@@ -35,7 +35,10 @@ Codec support is tiered, honestly:
         canonical prefix codes, LZ77 with the 2D distance map, color
         cache, meta-prefix tiling, and all four transforms inverted);
       - PCM WAV audio (RIFF, 8/16-bit) — decoded to samples, features
-        = per-block RMS energy profile.
+        = per-block RMS energy profile;
+      - FLAC audio (functions/flac.py: all subframe types incl. LPC,
+        rice partitions + escapes, all four stereo decorrelation
+        modes, CRC-verified frames).
   * GATED: remaining compressed codecs (lossy-VP8 WEBP/HEIC/MP3/H.264) need
     libraries this container doesn't ship — those payloads raise a
     per-row decode error (carried as DATA, the count-and-drop
@@ -431,8 +434,9 @@ def decode_audio_features(
     payload_col: str = "payload",
 ) -> DataFrame:
     """media (id, payload binary) -> AUDIO_FEATURES_SCHEMA rows.
-    PCM WAV decodes natively (pure numpy/struct); compressed codecs
-    yield per-row decode errors."""
+    PCM WAV and FLAC decode natively (pure numpy/struct — see
+    functions/flac.py); other compressed codecs (mp3/ogg/aac) yield
+    per-row decode errors."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -441,7 +445,13 @@ def decode_audio_features(
                 try:
                     if payload is None:
                         raise ValueError("null payload")
-                    rate, n, ch, samples = decode_wav(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:4] == b"fLaC":
+                        from photo_dedup_spark.functions.flac import decode_flac
+
+                        rate, n, ch, samples = decode_flac(raw)
+                    else:
+                        rate, n, ch, samples = decode_wav(raw)
                     feats = audio_energy_features(samples).tolist()
                     rows.append((mid, rate, n, ch, feats, None))
                 except Exception as e:  # noqa: BLE001 — count-and-drop contract
