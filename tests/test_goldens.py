@@ -33,6 +33,7 @@ PINNED = [
     "ann_srp_topk",
     "ann_ivf_topk",
     "media_features",
+    "audio_features",
     "video_frames",
 ]
 
