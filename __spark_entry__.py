@@ -36,6 +36,7 @@ from photo_dedup_spark.functions.naming import (
     valid_ymd_prefix,
     valid_ymd_prefix_sql,
 )
+from photo_dedup_spark.functions.normalize import normalize_sql as _normalize_sql
 
 # content cap sized so the sf testdata documents (all small) are in play
 ENTRY_CONFIG = DedupConfig(salt_threshold=64, num_salts=8)
@@ -1417,6 +1418,53 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+_BOILERPLATE_PREFIX_CHARS = 128
+_BOILERPLATE_MIN_DOCS = 2  # ≥2 sharers = a bucket the pair stage will square
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix census — the observability query behind the
+    north rule's skew callout ("explicit salting of skewed buckets
+    (e.g., license boilerplate, vendored libs)"): shared normalized
+    128-char prefixes are exactly what floods LSH bands with hot
+    buckets, and this census measures how many docs and sources share
+    each one BEFORE the pair stage decides its salting.  The same
+    shape drives boilerplate stripping in a training-data pipeline.
+    Map-side-combining agg on a sha2 of the normalized prefix; the
+    prefix itself stays out of the shuffle (the census is the skew
+    diagnostic, content never needs to move)."""
+    from photo_dedup_spark.functions.normalize import normalize_col
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    key = F.sha2(
+        F.substring(normalize_col(F.col("text")), 1, _BOILERPLATE_PREFIX_CHARS), 256
+    )
+    return (
+        d.select(key.alias("prefix_sha"), "source")
+        .groupBy("prefix_sha")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "prefix_sha")
+    )
+
+
+SQL_BOILERPLATE_PREFIXES = f"""
+WITH norm AS (
+  SELECT sha256(substr({_normalize_sql("text")}, 1, {_BOILERPLATE_PREFIX_CHARS}))
+           AS prefix_sha,
+         source
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT prefix_sha, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+FROM norm GROUP BY prefix_sha
+HAVING COUNT(*) >= {_BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, prefix_sha
+"""
+
+
 # -- embedding similarity ------------------------------------------------------
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1937,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_clicks": q_asof_clicks,
         "source_dup_stats": q_source_dup_stats,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
         # similarity
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1984,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": SQL_SESSION_STATS,
         "asof_clicks": SQL_ASOF_CLICKS,
         "source_dup_stats": SQL_SOURCE_DUP_STATS,
+        "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     }
