@@ -26,22 +26,51 @@ class SourceError(ValueError):
     reinterpret one source kind as another."""
 
 
+_PATH_FORMATS = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".jsonl": "json",  # newline-delimited JSON, one doc per line
+    ".json": "json",
+}
+
+
+def _source_kind(source: str) -> str:
+    """Decide the source KIND from shape alone (never from a failed
+    read): a path-looking string dispatches on its extension, anything
+    else is an Iceberg table identifier."""
+    for suffix, fmt in _PATH_FORMATS.items():
+        if source.endswith(suffix):
+            return fmt
+    if "/" in source:
+        return "parquet"  # extensionless directory: the parquet default
+    return "iceberg"
+
+
 def read_files(spark: SparkSession, source: str) -> DataFrame:
     """Load the (repo, path, commit, lang, content) table.
 
-    *source* may be an Iceberg table identifier (no '/' and no
-    .parquet suffix) or a parquet path.  The source KIND is decided by
-    shape first; a failure to load is raised as :class:`SourceError`,
-    never swallowed into a different-format retry (S3 fail-fast
-    contract, scanner.py:48-74)."""
-    is_table_ident = "/" not in source and not source.endswith(".parquet")
+    *source* may be an Iceberg table identifier (no '/', no known file
+    extension) or a path in any of the engine's file formats
+    (parquet / ORC / JSONL — ``_PATH_FORMATS``).  The source KIND is
+    decided by SHAPE first; a failure to load is raised as
+    :class:`SourceError`, never swallowed into a different-format
+    retry (S3 fail-fast contract, scanner.py:48-74).  JSON reads are
+    FAILFAST with the contract schema so a malformed line is a typed
+    error, not a silently-corrupt row (mirrors load_json_report's
+    strictness, cleaner.py:176-189)."""
+    kind = _source_kind(source)
     try:
-        if is_table_ident:
+        if kind == "iceberg":
             return spark.read.format("iceberg").load(source)
-        return spark.read.parquet(source)
+        if kind == "json":
+            return spark.read.schema(
+                "repo string, path string, commit string, lang string, "
+                "content string"
+            ).option("mode", "FAILFAST").json(source)
+        return spark.read.format(kind).load(source)
     except Exception as e:
-        kind = "iceberg table" if is_table_ident else "parquet path"
-        raise SourceError(f"cannot read {kind} {source!r}: {e}") from e
+        label = "iceberg table" if kind == "iceberg" else f"{kind} path"
+        raise SourceError(f"cannot read {label} {source!r}: {e}") from e
 
 
 def hygiene_filter(df: DataFrame, recursive: bool = True) -> DataFrame:

@@ -274,6 +274,42 @@ class TestReadFilesFailFast:
         spark.createDataFrame([(1,)], "x long").write.parquet(p)
         assert read_files(spark, p).count() == 1
 
+    def test_orc_and_jsonl_read_by_extension(self, spark, tmp_path):
+        """Extension-dispatched formats carry the same contract table."""
+        from photo_dedup_spark.sources.io import read_files
+
+        schema = "repo string, path string, commit string, lang string, content string"
+        rows = [("r1", "a.py", "c1", "py", "print(1)"),
+                ("r2", "b.py", "c2", "py", "print(2)")]
+        df = spark.createDataFrame(rows, schema)
+        orc = str(tmp_path / "t.orc")
+        df.write.orc(orc)
+        got = read_files(spark, orc)
+        assert {r.path for r in got.collect()} == {"a.py", "b.py"}
+        jsonl = str(tmp_path / "t.jsonl")
+        df.write.json(jsonl)
+        got = read_files(spark, jsonl)
+        assert sorted(got.columns) == sorted(schema.replace(" string", "").split(", "))
+        assert {r.repo for r in got.collect()} == {"r1", "r2"}
+
+    def test_malformed_jsonl_fails_loudly(self, spark, tmp_path):
+        """FAILFAST json: a corrupt line fails the read at action time
+        — never a silently-null row (the strictness load_json_report
+        applies to reports, cleaner.py:176-189)."""
+        from photo_dedup_spark.sources.io import read_files
+
+        d = tmp_path / "bad.jsonl"
+        d.write_text('{"repo": "r1", "path": "a.py"}\n{not json at all\n')
+        df = read_files(spark, str(d))
+        with pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
+            df.collect()
+
+    def test_orc_missing_raises_typed(self, spark, tmp_path):
+        from photo_dedup_spark.sources.io import SourceError, read_files
+
+        with pytest.raises(SourceError, match="orc path"):
+            read_files(spark, str(tmp_path / "nope.orc")).collect()
+
 
 class TestParseDates:
     """F5/F6 truth table vs reference metadata.py:40-60 semantics."""
