@@ -294,6 +294,18 @@ def run_pipeline(
             lsh.explode_simhash_chunks(signed, cfg)
         )
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # The explicit numPartitions below is immune to AQE coalescing
+        # (that is its purpose at bench scale: AQE's size-based rule
+        # squeezed the Python-CPU-heavy stages into too few tasks).  The
+        # flip side is that a TINY input pays full task-overhead waves —
+        # at sf0.1 (1.5 MB) the pair stage runs ~10 exchanges × 128
+        # tasks of ~40 rows.  Reuse the broadcast gate's input-size
+        # probe to cap the pair-stage width for small scans: inputs
+        # under 64 MiB keep ≥ 32-way parallelism (plenty at that size,
+        # measured −2 s warm at sf0.1) while anything larger — every
+        # at-scale corpus — keeps the exact current behavior.
+        if in_bytes is not None and in_bytes < 64 << 20:
+            shuffle_n = min(shuffle_n, 32)
         pairs, bucket_stats = lsh.candidate_pairs(banded, cfg, num_partitions=shuffle_n)
         if collect_metrics:
             metrics["lsh_bucket_routes"] = {
