@@ -147,3 +147,51 @@ def token_set_fingerprint_sql(expr: str) -> str:
         f"else list_sort(list_distinct(regexp_split_to_array({t}, '\\s+'))) end)"
     )
     return f"sha256(list_aggregate({toks}, 'string_agg', chr(1)))"
+
+
+# --- secret / PII scan (training-data hygiene tier) -------------------------
+#
+# Code-corpus pipelines scan for leaked credentials and contact PII
+# before training (no reference analog — photo-dedup never reads
+# content semantically; this comes from the training-data mandate).
+# Detectors are JVM-side regex counts (whole-stage codegen'd, no UDF)
+# restricted to the Java∩RE2 dialect subset so the DuckDB oracle runs
+# the IDENTICAL patterns.  Counts, not booleans: a quality gate
+# typically thresholds on density (secrets per KB), and redaction
+# pipelines want the match count to verify complete masking.
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_AWS_KEY_PAT = r"AKIA[0-9A-Z]{16}"
+_PRIVKEY_PAT = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+_HEX_SECRET_PAT = r"\b[0-9a-f]{40,64}\b"  # sha1/sha256-shaped tokens
+
+
+def secret_scan_cols(text: Column) -> list[Column]:
+    """Per-doc detector counts: emails, AWS access-key ids, PEM private
+    key headers, long lowercase-hex tokens (sha-shaped credentials)."""
+    return [
+        count_matches(text, _EMAIL_PAT).alias("n_emails"),
+        count_matches(text, _AWS_KEY_PAT).alias("n_aws_keys"),
+        count_matches(text, _PRIVKEY_PAT).alias("n_private_keys"),
+        count_matches(text, _HEX_SECRET_PAT).alias("n_hex_secrets"),
+    ]
+
+
+def secret_scan_sql(expr: str) -> list[str]:
+    return [
+        f"{count_matches_sql(expr, _EMAIL_PAT)} as n_emails",
+        f"{count_matches_sql(expr, _AWS_KEY_PAT)} as n_aws_keys",
+        f"{count_matches_sql(expr, _PRIVKEY_PAT)} as n_private_keys",
+        f"{count_matches_sql(expr, _HEX_SECRET_PAT)} as n_hex_secrets",
+    ]
+
+
+def redact_emails(text: Column) -> Column:
+    """Mask every email match (the redaction leg of the scan); the
+    count column above verifies completeness: redact(text) must re-scan
+    to zero."""
+    return F.regexp_replace(text, _EMAIL_PAT, "<EMAIL>")
+
+
+def redact_emails_sql(expr: str) -> str:
+    return f"regexp_replace({expr}, '{_EMAIL_PAT}', '<EMAIL>', 'g')"
