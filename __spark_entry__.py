@@ -1422,6 +1422,42 @@ _BOILERPLATE_PREFIX_CHARS = 128
 _BOILERPLATE_MIN_DOCS = 2  # ≥2 sharers = a bucket the pair stage will square
 
 
+_QUOTA_PER_SOURCE = 10  # sf sources carry up to 25 docs, so the cap bites
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — corpus balancing for training-data
+    construction: cap each source (≅ domain/repo) at ``_QUOTA_PER_
+    SOURCE`` docs, keeping a DETERMINISTIC hash-ordered sample rather
+    than an arbitrary head (rand() would break cross-run and
+    cross-engine reproducibility; xxhash isn't in DuckDB, so the order
+    key is sha2(doc_id) — engine-portable and uniform).  The window
+    shuffles only (doc_id, source, key): Catalyst prunes content out
+    of the scan, so balancing a 100 TB corpus moves ids, not text.
+    Emits kept rows with their in-source rank; the downstream join
+    back to content is an id-equi-join."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    key = F.sha2(F.col("doc_id").cast("string"), 256)
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= _QUOTA_PER_SOURCE)
+    )
+
+
+SQL_SOURCE_QUOTA_SAMPLE = f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY sha256(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         )::bigint AS sample_rank
+  FROM documents WHERE text IS NOT NULL
+) WHERE sample_rank <= {_QUOTA_PER_SOURCE}
+"""
+
+
 def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secret/PII scan (training-data hygiene tier): per-doc detector
     counts for emails, AWS access-key ids, PEM private-key headers and
@@ -2061,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dup_stats": q_source_dup_stats,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "secret_scan": q_secret_scan,
+        "source_quota_sample": q_source_quota_sample,
         # similarity
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2110,6 +2147,7 @@ def oracle_sql() -> dict[str, str]:
         "source_dup_stats": SQL_SOURCE_DUP_STATS,
         "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
         "secret_scan": SQL_SECRET_SCAN,
+        "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     }
