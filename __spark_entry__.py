@@ -1524,7 +1524,7 @@ SELECT doc_id,
   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::bigint AS n_emails,
   len(regexp_extract_all(t, 'AKIA[0-9A-Z]{16}'))::bigint AS n_aws_keys,
   len(regexp_extract_all(t, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))::bigint AS n_private_keys,
-  len(regexp_extract_all(t, '\\b[0-9a-f]{40,64}\\b'))::bigint AS n_hex_secrets,
+  len(regexp_extract_all(t, '\\b[0-9a-f]{40,}\\b'))::bigint AS n_hex_secrets,
   len(regexp_extract_all(
     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::bigint AS n_emails_after_redact

@@ -169,6 +169,8 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
     wasted = 0
     if bits.read(1):
         wasted = bits.unary() + 1
+        if wasted >= bps:
+            raise ValueError("wasted bits exceed sample size")
         bps -= wasted
     if t == 0:  # CONSTANT
         out = np.full(block_size, bits.read_signed(bps), dtype=np.int64)

@@ -163,7 +163,10 @@ def token_set_fingerprint_sql(expr: str) -> str:
 _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _AWS_KEY_PAT = r"AKIA[0-9A-Z]{16}"
 _PRIVKEY_PAT = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
-_HEX_SECRET_PAT = r"\b[0-9a-f]{40,64}\b"  # sha1/sha256-shaped tokens
+# sha1-and-longer-shaped tokens; unbounded upper so 128-hex sha512
+# blobs and concatenated tokens still count (a {40,64} cap matches
+# NOTHING for runs past 64 chars — the longest secrets scored zero).
+_HEX_SECRET_PAT = r"\b[0-9a-f]{40,}\b"
 
 
 def secret_scan_cols(text: Column) -> list[Column]:

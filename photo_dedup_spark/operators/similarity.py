@@ -288,9 +288,13 @@ def train_ivf_centroids(
         .collect()
     )
     x = np.asarray([np.asarray(r.vec, dtype=np.float64) for r in sample])
+    if x.size == 0:
+        raise ValueError("no embeddings to train IVF centroids (empty sample)")
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
     n = len(x)
+    if n == 0:
+        raise ValueError("no non-zero embeddings to train IVF centroids")
     n_cells = min(n_cells, n)
     rng = np.random.RandomState(seed)
 

@@ -301,10 +301,11 @@ def run_pipeline(
         # at sf0.1 (1.5 MB) the pair stage runs ~10 exchanges × 128
         # tasks of ~40 rows.  Reuse the broadcast gate's input-size
         # probe to cap the pair-stage width for small scans: inputs
-        # under 64 MiB keep ≥ 32-way parallelism (plenty at that size,
-        # measured −2 s warm at sf0.1) while anything larger — every
-        # at-scale corpus — keeps the exact current behavior.
-        if in_bytes is not None and in_bytes < 64 << 20:
+        # under cfg.narrow_pairs_max_input_bytes keep ≥ 32-way
+        # parallelism (plenty at that size, measured −2 s warm at
+        # sf0.1) while anything larger — every at-scale corpus — keeps
+        # the exact current behavior.
+        if in_bytes is not None and in_bytes < cfg.narrow_pairs_max_input_bytes:
             shuffle_n = min(shuffle_n, 32)
         pairs, bucket_stats = lsh.candidate_pairs(banded, cfg, num_partitions=shuffle_n)
         if collect_metrics:

@@ -3,9 +3,10 @@
 The north rule's deployment form is ``spark-submit --py-files`` on a
 multi-executor cluster: the engine ships as a single zip that Spark
 distributes to every executor's PYTHONPATH.  This builds that zip
-DETERMINISTICALLY (fixed timestamps, sorted entries, stored not
-deflated-with-time) so the artifact's sha256 is reproducible from the
-tree — the same property the engine's outputs have.
+DETERMINISTICALLY (fixed timestamps, sorted entries, STORED — no
+compression, so the bytes don't depend on the zlib version) and the
+artifact's sha256 is reproducible from the tree alone — the same
+property the engine's outputs have.
 
 Usage:
     python tools/make_pyfiles.py [--out dist/photo_dedup_spark.zip]
@@ -35,11 +36,11 @@ def build_zip(repo_root: Path, out: Path) -> Path:
     files = sorted(
         p for p in pkg.rglob("*.py") if "__pycache__" not in p.parts
     )
-    with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_STORED) as zf:
         for p in files:
             arcname = str(p.relative_to(repo_root))
             info = zipfile.ZipInfo(arcname, date_time=_EPOCH)
-            info.compress_type = zipfile.ZIP_DEFLATED
+            info.compress_type = zipfile.ZIP_STORED
             info.external_attr = 0o644 << 16
             zf.writestr(info, p.read_bytes())
     return out

@@ -86,11 +86,17 @@ def main(argv: list[str]) -> int:
     )
     metrics = dict(result.metrics)
     metrics["wall_s"] = round(time.monotonic() - t0, 3)
-    # metrics.json is driver-local: on a cluster the driver's filesystem
-    # (client mode) or the container log dir (cluster mode).
-    metrics_path = args.output.rstrip("/").removeprefix("file:") + "/metrics.json"
-    with open(metrics_path, "w") as fh:
-        json.dump(metrics, fh, indent=2, sort_keys=True, default=str)
+    # metrics.json is written with the driver's LOCAL filesystem, so it
+    # only lands next to the assignments when --output is a local path.
+    # For hdfs:// / s3a:// outputs the metrics go to stdout instead of
+    # crashing after the assignments write succeeded.
+    local_out = args.output.removeprefix("file:")
+    if "://" in local_out:
+        print(json.dumps(metrics, sort_keys=True, default=str))
+    else:
+        metrics_path = local_out.rstrip("/") + "/metrics.json"
+        with open(metrics_path, "w") as fh:
+            json.dump(metrics, fh, indent=2, sort_keys=True, default=str)
     print(json.dumps({"wall_s": metrics["wall_s"], "output": args.output}))
     spark.stop()
     return 0
