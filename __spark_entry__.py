@@ -1686,6 +1686,222 @@ def q_action_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_plan(plan)
 
 
+def q_action_plan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 decision logic, ORACLE-CHECKED (r4 VERDICT next-round #2).
+
+    The hybrid-mode ``action_plan`` above is rows-only because its
+    cluster input (near-dup LSH) is not SQL-expressible — but the plan
+    semantics themselves are pure windows/CASE (reference
+    cleaner.py:722-919), so this twin runs the SAME ``move_plan`` +
+    ``rename_plan`` operators over SQL-expressible normalized-key
+    clusters (the construction already oracle-green as
+    ``exact_dup_groups``/``keep_selection``) and DuckDB replays every
+    branch.  Planted two-member clusters per documents row with
+    ``doc_id % 7 == 0``, family by ``doc_id % 35`` so each conflict
+    branch provably fires (non-vacuous by construction):
+
+      28 → R: plain rename (member name beats the keep's)
+       0 → S: rename blocked by a surviving path not renamed away
+              (cleaner.py:823-837) → ``skip``
+       7 → C: chained A→B while B→C → two-phase ``rename_stage`` /
+              ``rename_final`` hops (cleaner.py:797-919)
+      14 → D: two proposals share a target → first by src wins,
+              second ``skip``
+      21 → E: two delete-members share a backup path → ``_dupN``
+              collision suffix (cleaner.py:756-764)
+
+    ``seq`` is intentionally absent here: :func:`sequence_plan` buckets
+    by ``xxhash64``, which DuckDB cannot replay — the chain-safe total
+    order is instead oracle-checked at phase granularity (the ``phase``
+    column IS the order contract: moves < stage hops < renames < final
+    hops < skips), and exact ``seq`` stays covered by the golden-pinned
+    hybrid query."""
+    from photo_dedup_spark.operators.plan import _phase_col, move_plan, rename_plan
+
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 7 == 0))
+        .select("doc_id", "text", (F.col("doc_id") % 35).alias("r"))
+    )
+    i = F.col("doc_id").cast("string")
+
+    def lit_concat(*parts):
+        return F.concat(*[F.lit(x) if isinstance(x, str) else x for x in parts])
+
+    def family(res: int, suffix: str, *paths):
+        t = F.concat(F.col("text"), F.lit(suffix))
+        out = None
+        for pc in paths:
+            m = d.where(F.col("r") == res).select(
+                norm_key_col(t).alias("cluster_id"),
+                pc.alias("path"),
+                F.length(t).alias("n_chars"),
+            )
+            out = m if out is None else out.unionByName(m)
+        return out
+
+    members = (
+        family(28, "|R", lit_concat("docs/", i, ".txt"),
+               lit_concat("mirror/Nice Photo Set ", i, ".txt"))
+        .unionByName(family(0, "|S1", lit_concat("docs/Target ", i, ".txt"),
+                            lit_concat("mirror/", i, " (1).txt")))
+        .unionByName(family(0, "|S2", lit_concat("docs/aaa_very_long_name_", i, ".txt"),
+                            lit_concat("mirror/Target ", i, ".txt")))
+        .unionByName(family(7, "|C1", lit_concat("docs/ChainA ", i, ".txt"),
+                            lit_concat("mirror/ChainB ", i, ".txt")))
+        .unionByName(family(7, "|C2", lit_concat("docs/ChainB ", i, ".txt"),
+                            lit_concat("mirror/ChainC ", i, ".txt")))
+        .unionByName(family(14, "|D1", lit_concat("docs/d1_quite_long_stem_", i, ".txt"),
+                            lit_concat("mirror/Dup Target ", i, ".txt")))
+        .unionByName(family(14, "|D2", lit_concat("docs/d2_quite_long_stem_", i, ".txt"),
+                            lit_concat("mirror2/Dup Target ", i, ".txt")))
+        .unionByName(family(21, "|E1", lit_concat("docs/e1_", i, ".txt"),
+                            lit_concat("mirror/shared_", i, ".txt")))
+        .unionByName(family(21, "|E2", lit_concat("docs/e2_", i, ".txt"),
+                            lit_concat("mirror/shared_", i, ".txt")))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("path"))
+    selected = members.withColumn("is_keep", F.row_number().over(w) == 1)
+    plan = move_plan(selected).unionByName(rename_plan(selected))
+    return plan.select(
+        "action", "cluster_id", "src", "dst", _phase_col().cast("int").alias("phase")
+    )
+
+
+def _apx_members_sql() -> str:
+    """DuckDB rendering of the planted member families above."""
+    fams = [
+        (28, "|R", ["'docs/' || i || '.txt'", "'mirror/Nice Photo Set ' || i || '.txt'"]),
+        (0, "|S1", ["'docs/Target ' || i || '.txt'", "'mirror/' || i || ' (1).txt'"]),
+        (0, "|S2", ["'docs/aaa_very_long_name_' || i || '.txt'", "'mirror/Target ' || i || '.txt'"]),
+        (7, "|C1", ["'docs/ChainA ' || i || '.txt'", "'mirror/ChainB ' || i || '.txt'"]),
+        (7, "|C2", ["'docs/ChainB ' || i || '.txt'", "'mirror/ChainC ' || i || '.txt'"]),
+        (14, "|D1", ["'docs/d1_quite_long_stem_' || i || '.txt'", "'mirror/Dup Target ' || i || '.txt'"]),
+        (14, "|D2", ["'docs/d2_quite_long_stem_' || i || '.txt'", "'mirror2/Dup Target ' || i || '.txt'"]),
+        (21, "|E1", ["'docs/e1_' || i || '.txt'", "'mirror/shared_' || i || '.txt'"]),
+        (21, "|E2", ["'docs/e2_' || i || '.txt'", "'mirror/shared_' || i || '.txt'"]),
+    ]
+    parts = []
+    for res, suffix, paths in fams:
+        t = f"text || '{suffix}'"
+        for pexpr in paths:
+            parts.append(
+                f"SELECT {norm_key_sql(t)} AS cluster_id, {pexpr} AS path,"
+                f" length({t}) AS n_chars FROM b WHERE r = {res}"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+# DuckDB renderings of plan.py's string helpers (plan.py:92-96 stem —
+# NOT naming._stem: ext strip is [A-Za-z0-9]+$, copy-marker strip is
+# the ANCHORED trailing " (N)" only, no trim — and the dir/base split
+# of rename_plan)
+_APX_STEM = (
+    "regexp_replace(regexp_replace(list_extract(string_split(path, '/'), -1),"
+    " '\\.[A-Za-z0-9]+$', ''), ' \\([0-9]+\\)$', '')"
+)
+
+
+def _apx_dir_sql(col: str) -> str:
+    base = f"list_extract(string_split({col}, '/'), -1)"
+    return (
+        f"(CASE WHEN strpos({col}, '/') > 0 THEN"
+        f" substring({col}, 1, length({col}) - length({base})) ELSE '' END)"
+    )
+
+
+SQL_ACTION_PLAN_EXACT = f"""
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS i, text, doc_id % 35 AS r
+  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+),
+members AS (
+{_apx_members_sql()}
+),
+sel AS (
+  SELECT cluster_id, path,
+         (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, path ASC) = 1) AS is_keep
+  FROM members
+),
+deletes AS (
+  SELECT cluster_id, path AS src, '_duplicates_backup/' || path AS base_dst
+  FROM sel WHERE NOT is_keep
+),
+moves AS (
+  SELECT 'move' AS action, cluster_id, src,
+         CASE WHEN rn = 1 THEN base_dst
+              ELSE base_dst || '_dup' || CAST(rn - 1 AS VARCHAR) END AS dst
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY base_dst
+                                     ORDER BY src, cluster_id) AS rn
+        FROM deletes)
+),
+scored AS (
+  SELECT cluster_id, path, is_keep,
+         {readability_score_sql('path')} AS score,
+         {_APX_STEM} AS stem
+  FROM sel
+),
+best AS (
+  SELECT cluster_id, stem AS best_stem FROM (
+    SELECT cluster_id, stem,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, stem DESC) AS brn
+    FROM scored) WHERE brn = 1
+),
+props AS (
+  SELECT * FROM (
+    SELECT k.cluster_id, k.path AS src,
+           {_apx_dir_sql('k.path')} || g.best_stem ||
+           regexp_extract(list_extract(string_split(k.path, '/'), -1),
+                          '(\\.[A-Za-z0-9]+)$', 1) AS dst
+    FROM sel k JOIN best g USING (cluster_id) WHERE k.is_keep
+  ) WHERE dst <> src
+),
+blocked AS (
+  SELECT path AS dst FROM sel WHERE is_keep
+  EXCEPT ALL
+  SELECT src AS dst FROM props
+),
+ok1 AS (SELECT * FROM props WHERE dst NOT IN (SELECT dst FROM blocked)),
+skip_ext AS (
+  SELECT 'skip' AS action, cluster_id, src, dst FROM props
+  WHERE dst IN (SELECT dst FROM blocked)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY src, cluster_id) AS dst_rn
+  FROM ok1
+),
+ok2 AS (SELECT cluster_id, src, dst FROM ranked WHERE dst_rn = 1),
+skip_dup AS (
+  SELECT 'skip' AS action, cluster_id, src, dst FROM ranked WHERE dst_rn > 1
+),
+plain AS (
+  SELECT 'rename' AS action, cluster_id, src, dst FROM ok2
+  WHERE dst NOT IN (SELECT src FROM ok2)
+),
+hops AS (
+  SELECT cluster_id, src, dst,
+         {_apx_dir_sql('src')} || '.__dedup_tmp_' || substr(sha256(src), 1, 16)
+         || '_' || list_extract(string_split(src, '/'), -1) AS tmp_path
+  FROM ok2 WHERE dst IN (SELECT src FROM ok2)
+),
+plan AS (
+  SELECT * FROM moves
+  UNION ALL SELECT * FROM plain
+  UNION ALL SELECT 'rename_stage', cluster_id, src, tmp_path FROM hops
+  UNION ALL SELECT 'rename_final', cluster_id, tmp_path, dst FROM hops
+  UNION ALL SELECT * FROM skip_ext
+  UNION ALL SELECT * FROM skip_dup
+)
+SELECT action, cluster_id, src, dst,
+       CAST(CASE action WHEN 'move' THEN 0 WHEN 'rename_stage' THEN 1
+            WHEN 'rename' THEN 2 WHEN 'rename_final' THEN 3
+            ELSE 9 END AS INT) AS phase
+FROM plan
+"""
+
+
 # Tiny valid baseline JPEG (16×16 gray) with an EXIF APP1 whose
 # DateTimeOriginal ASCII sits at byte offset _EXIF_DT_OFF — q_media_
 # features patches a per-row datetime into it so the EXIF extraction
@@ -2101,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        # plan decision logic over SQL-expressible clusters (oracle-checked)
+        "action_plan_exact": q_action_plan_exact,
         # rows-only (non-SQL-expressible)
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
@@ -2150,4 +2368,5 @@ def oracle_sql() -> dict[str, str]:
         "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "action_plan_exact": SQL_ACTION_PLAN_EXACT,
     }
