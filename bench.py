@@ -32,6 +32,19 @@ import tempfile
 import time
 
 
+def _bench_config(entry_mod):
+    """ENTRY_CONFIG, optionally with the driver union-find shortcut
+    disabled (SPARK_GRAFT_CC_FORCE_DISTRIBUTED=1) so the scaling series
+    exercises the distributed label-propagation loop — the stated
+    100 TB CC path (r4 VERDICT next-round #1)."""
+    cfg = entry_mod.ENTRY_CONFIG
+    if os.environ.get("SPARK_GRAFT_CC_FORCE_DISTRIBUTED") == "1":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, cc_driver_max_edges=0)
+    return cfg
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -247,13 +260,14 @@ def run_leg_server(cpus: int) -> None:
     spark = build_session(app_name=f"scale-leg-{cpus}")
     spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(corpus).count()
+    cfg = _bench_config(entry_mod)
 
     def one_run() -> tuple[float, int]:
         t0 = time.monotonic()
         res = run_pipeline(
             spark,
             spark.read.parquet(corpus),
-            entry_mod.ENTRY_CONFIG,
+            cfg,
             mode="hybrid",
             collect_metrics=False,
         )
@@ -343,13 +357,18 @@ def run_scaling_paired(sf_dir: str) -> None:
     lo, hi = (
         int(x) for x in os.environ.get("SPARK_GRAFT_LEGS", "8,32").split(",")
     )
-    corpus_path = os.path.join(corpus_dir, f"bench_corpus_{n_bases}_18")
+    # SPARK_GRAFT_CHAIN_EVERY plants the drifting-chain mega-component
+    # (benchcorpus._chain_member) — the distributed-CC series corpus
+    chain_every = int(os.environ.get("SPARK_GRAFT_CHAIN_EVERY", "0"))
+    chain_suffix = f"_chain{chain_every}" if chain_every else ""
+    corpus_path = os.path.join(corpus_dir, f"bench_corpus_{n_bases}_18{chain_suffix}")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         gen = (
             "from photo_dedup_spark.session import build_session;"
             "from photo_dedup_spark.benchcorpus import materialize_bench_corpus;"
             "s = build_session(app_name='bench-corpus-gen');"
-            f"materialize_bench_corpus(s, {n_bases}, {corpus_dir!r});"
+            f"materialize_bench_corpus(s, {n_bases}, {corpus_dir!r},"
+            f" chain_every={chain_every});"
             "s.stop()"
         )
         subprocess.run([sys.executable, "-c", gen], check=True)
@@ -452,6 +471,8 @@ def run_scaling_paired(sf_dir: str) -> None:
         "traced": traced,
         "docs": docs,
         "corpus": corpus_path,
+        "chain_every": chain_every,
+        "cc_forced_distributed": os.environ.get("SPARK_GRAFT_CC_FORCE_DISTRIBUTED") == "1",
     }
     with open("BENCH/scaling_paired_raw.json", "w") as f:
         json.dump(raw, f, indent=2)
@@ -523,12 +544,14 @@ def run_single_pipeline(sf_dir: str, cpus: int) -> None:
     # per-run overhead that scales with neither cores nor data)
     docs = spark.read.parquet(corpus or f"{sf_dir}/documents.parquet").count()
 
+    cfg = _bench_config(entry_mod)
+
     def one_run():
         t0 = time.monotonic()
         if corpus:
             files = spark.read.parquet(corpus)
             res = run_pipeline(
-                spark, files, entry_mod.ENTRY_CONFIG, mode="hybrid", collect_metrics=False
+                spark, files, cfg, mode="hybrid", collect_metrics=False
             )
             n = res.assignments.count()
         else:

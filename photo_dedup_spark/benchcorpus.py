@@ -51,7 +51,36 @@ def _bench_base_file(rng: random.Random, n_funcs: int) -> str:
     return "\n".join(parts) + "\n"
 
 
-def _rows_for_base(i: int, size_funcs: int) -> list[tuple]:
+# --- mega-component chain (round-5 distributed-CC scale evidence) ---
+# The north rule's boilerplate case: one giant near-dup component.  A
+# literal shared-template family would be an LSH clique (O(m²) verify
+# pairs — the exact blow-up the salting/overflow tier exists to refuse),
+# so the mega-component is planted as a DRIFTING chain instead: member p
+# is a sliding window over a deterministic token stream, so adjacent
+# members are near-dups (token overlap 540/660 ⇒ Jaccard ≈ 0.82 > τ=0.7)
+# while members two steps apart fall below τ — candidate pairs stay
+# O(m), yet connected components must stitch one m-member component
+# whose DIAMETER is m (the worst case for label propagation; pointer
+# jumping needs its full O(log m) rounds).  This is the evolving-
+# boilerplate shape of real corpora (license text v1 → v2 → …).
+_CHAIN_TOKENS = 600
+_CHAIN_STEP = 60
+
+
+def _chain_token(t: int) -> str:
+    # Knuth multiplicative hash mod a prime: cheap, deterministic,
+    # ~16M-token vocabulary so windows are collision-free in practice
+    return f"w{(t * 2654435761) % 16777213:x}"
+
+
+def _chain_member(p: int) -> str:
+    start = p * _CHAIN_STEP
+    toks = [_chain_token(t) for t in range(start, start + _CHAIN_TOKENS)]
+    lines = [" ".join(toks[j : j + 8]) for j in range(0, len(toks), 8)]
+    return "\n".join(lines) + "\n"
+
+
+def _rows_for_base(i: int, size_funcs: int, chain_every: int = 0) -> list[tuple]:
     rng = random.Random(1_000_003 * i + 42)
     lang = rng.choice(["py", "java", "c", "js", "txt"])
     base = _bench_base_file(rng, n_funcs=size_funcs + rng.randint(-2, 2))
@@ -72,19 +101,27 @@ def _rows_for_base(i: int, size_funcs: int) -> list[tuple]:
     elif r < 0.30:
         cut = base.rfind("\n", 0, int(len(base) * rng.uniform(0.72, 0.9)))
         out.append(row(f"trunc{i % 7}/of", f"src/mod_{i}_part.{lang}", base[: cut + 1]))
+    if chain_every and i % chain_every == 0:
+        p = i // chain_every
+        content = _chain_member(p)
+        commit = hashlib.sha1(f"chain:{p}".encode()).hexdigest()
+        out.append(("boiler/chain", f"chain/part_{p}.txt", commit, "txt", content))
     return out
 
 
 def generate_bench_corpus(
-    spark: SparkSession, n_bases: int, size_funcs: int = 18
+    spark: SparkSession, n_bases: int, size_funcs: int = 18, chain_every: int = 0
 ) -> DataFrame:
-    """~1.17 rows per base; size_funcs≈18 → ~4 KB average content."""
+    """~1.17 rows per base; size_funcs≈18 → ~4 KB average content.
+    ``chain_every`` > 0 additionally plants one drifting-chain member
+    per that many bases (one n_bases/chain_every-member mega-component
+    with O(n) candidate pairs — see _chain_member)."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                rows.extend(_rows_for_base(int(i), size_funcs))
+                rows.extend(_rows_for_base(int(i), size_funcs, chain_every))
             yield pd.DataFrame(
                 rows, columns=["repo", "path", "commit", "lang", "content"]
             )
@@ -94,13 +131,18 @@ def generate_bench_corpus(
 
 
 def materialize_bench_corpus(
-    spark: SparkSession, n_bases: int, out_dir: str, size_funcs: int = 18
+    spark: SparkSession,
+    n_bases: int,
+    out_dir: str,
+    size_funcs: int = 18,
+    chain_every: int = 0,
 ) -> str:
     """Write once, reuse across scaling runs (generation excluded from
-    the timed job).  Keyed by (n_bases, size_funcs)."""
-    path = os.path.join(out_dir, f"bench_corpus_{n_bases}_{size_funcs}")
+    the timed job).  Keyed by (n_bases, size_funcs[, chain_every])."""
+    suffix = f"_chain{chain_every}" if chain_every else ""
+    path = os.path.join(out_dir, f"bench_corpus_{n_bases}_{size_funcs}{suffix}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        generate_bench_corpus(spark, n_bases, size_funcs).write.mode(
+        generate_bench_corpus(spark, n_bases, size_funcs, chain_every).write.mode(
             "overwrite"
         ).parquet(path)
     return path

@@ -161,3 +161,44 @@ class TestDriverUnionFind:
         small = dataclasses.replace(cfg, cc_driver_max_edges=2)
         _, m = _labels(spark, small, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)])
         assert m["cc_mode"] == "distributed"
+
+
+class TestChainCorpusEquivalence:
+    """Pipeline-level driver-vs-distributed CC equivalence on a planted
+    mega-component (r4 VERDICT next-round #1): the drifting-chain corpus
+    (benchcorpus._chain_member) creates one path-shaped component whose
+    DIAMETER equals its size — the label-propagation worst case — while
+    candidate pairs stay O(n).  Both CC paths must produce bit-identical
+    final assignments end-to-end (CC + rep-verify split + keep window).
+    The bench-scale (120k-base) twin of this gate is
+    tools/cc_equivalence.py → BENCH/cc_equivalence.json."""
+
+    def test_assignments_identical_and_distributed_loop_exercised(self, spark, cfg):
+        import dataclasses
+
+        from photo_dedup_spark.benchcorpus import generate_bench_corpus
+        from photo_dedup_spark.pipeline import run_pipeline
+
+        files = generate_bench_corpus(
+            spark, n_bases=400, size_funcs=6, chain_every=2
+        ).localCheckpoint()
+        runs = {}
+        for label, c in (
+            ("driver", cfg),
+            ("distributed", dataclasses.replace(cfg, cc_driver_max_edges=0)),
+        ):
+            res = run_pipeline(spark, files, c, mode="hybrid", collect_metrics=True)
+            rows = {
+                r.doc_id: (r.cluster_id, r.rn, r.is_keep)
+                for r in res.assignments.collect()
+            }
+            runs[label] = (rows, res.metrics)
+        drv_rows, drv_m = runs["driver"]
+        dst_rows, dst_m = runs["distributed"]
+        assert drv_m["cc_mode"] == "driver-union-find"
+        assert dst_m["cc_mode"] == "distributed"
+        # a 200-member path needs real propagation work — this is the
+        # evidence the mega-component actually formed and the loop ran
+        assert dst_m["cc_iterations"] >= 4, dst_m
+        assert dst_m["cc_changed_per_iter"][-1] == 0
+        assert drv_rows == dst_rows
