@@ -53,6 +53,15 @@ class DedupConfig:
     # prefix bits ≈ hamming_threshold·bits/simhash_bits); the cap above
     # still bounds any skewed bucket.
     split_bucket_target: int = 2_048
+    # cross-bucket founder stitch (r4 VERDICT "what's wrong" #3): after
+    # prefix-bucketed splitting, subgroup FOUNDERS of oversized
+    # components re-enter the LSH candidate engine, verified founder
+    # pairs replay the oracle-order greedy, and matching subgroups
+    # merge — recovering the members a flipped prefix bit scattered.
+    # Founders ≪ members (≈ n / split_bucket_target), so the stitch is
+    # bounded; past the cap it is skipped (degrade-don't-drop, logged).
+    split_stitch: bool = True
+    split_stitch_max_founders: int = 500_000
     # --- execution ---
     shuffle_partitions: int = 32
     # Re-attaching content to group representatives joins the raw scan

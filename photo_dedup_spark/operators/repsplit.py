@@ -42,9 +42,34 @@ Bucketing can only over-split (buckets never merge), which preserves
 the split's precision role; the recall cost applies to megacomponents
 only and is the logged, bounded alternative to a multi-hour
 single-task straggler.
+
+CROSS-BUCKET STITCH (round 5, r4 VERDICT "what's wrong" #3): the
+bucketing recall loss — members whose simhash mutation flips a prefix
+bit land in the wrong bucket and found spurious subgroups (~16%
+measured on a planted 24k component) — is recovered by a second pass
+over the subgroup FOUNDERS of oversized components only:
+
+  1. founders re-enter the SAME LSH candidate engine the pair stage
+     uses (MinHash bands ∪ simhash chunks, salted, overflow-capped) —
+     no new join machinery, inherits every scale bound;
+  2. candidate founder pairs inside one component are verified by the
+     SAME batched sketch estimator (verify_pairs);
+  3. the oracle-order greedy is replayed over founders using the
+     verified pair set (driver-side: founders ≈ n/split_bucket_target
+     ≪ members, capped by ``split_stitch_max_founders``): a founder
+     joins the EARLIEST surviving root it verifies against, exactly
+     the rule the exact greedy applies to members — so the stitched
+     result moves strictly toward the unbucketed semantics (a chain
+     A≈B≈C still splits at C, because C is compared against the ROOT
+     A, not against B).
+
+Components at or under ``split_max_component`` never enter the stitch,
+so exact-greedy parity with the sequential oracle is untouched.
 """
 
 from __future__ import annotations
+
+import sys
 
 import numpy as np
 import pandas as pd
@@ -67,6 +92,7 @@ def rep_verify_split(
     comp_labels: DataFrame,
     reps: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """(rep doc_id, component id) × (rep doc_id, repo, path, sketch,
     sketch_b, simhash) → (doc_id, cluster_id) with cluster_id = the
@@ -226,10 +252,154 @@ def rep_verify_split(
     n_parts = int(
         members.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    return (
+    splits = (
         members.repartition(n_parts, "comp_id", "bucket")
         .groupBy("comp_id", "bucket")
         .applyInPandas(_split, _SPLIT_SCHEMA)
+    )
+    if not cfg.split_stitch:
+        return splits
+    # cheap probe on the (small, rep-graph-sized) component census: the
+    # common case — no oversized component — adds exactly one tiny job
+    # and leaves the split plan untouched
+    if sizes.where(F.col("comp_n") > F.lit(cap)).isEmpty():
+        return splits
+    # the stitch consumes splits twice (founders, then relabel); a lazy
+    # localCheckpoint runs the greedy exactly once
+    splits = splits.localCheckpoint(eager=False)
+    return _stitch_oversized(splits, members, reps, cfg, metrics)
+
+
+def _stitch_oversized(
+    splits: DataFrame,
+    members: DataFrame,
+    reps: DataFrame,
+    cfg: DedupConfig,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Cross-bucket founder stitch (module docstring, round-5 section).
+
+    *splits* must already be checkpointed by the caller.  *members*
+    carries (doc_id, comp_id, comp_n); *reps* the full signature rows.
+    Returns *splits* with subgroups of oversized components merged
+    wherever their FOUNDERS verify against an earlier surviving root —
+    the oracle-order greedy replayed one level up.
+    """
+    # lazy import: lsh/verify import config only, no cycle — but keep
+    # repsplit importable without pulling the pair engine at module load
+    from photo_dedup_spark.operators import lsh
+    from photo_dedup_spark.operators.verify import verify_pairs
+
+    spark = splits.sparkSession
+    over = members.where(
+        F.col("comp_n") > F.lit(cfg.split_max_component)
+    ).select("doc_id", "comp_id")
+    founders = (
+        splits.join(over, "doc_id")
+        .select(F.col("cluster_id").alias("doc_id"), "comp_id")
+        .distinct()
+    )
+    sig_cols = ["doc_id", "repo", "path", "sketch", "sketch_b", "simhash"]
+    if "band_hashes" in reps.columns:
+        sig_cols.append("band_hashes")
+    fsigned = founders.join(reps.select(*sig_cols), "doc_id").localCheckpoint(
+        eager=False
+    )
+    n_found = fsigned.count()
+    if metrics is not None:
+        metrics["stitch_founders"] = n_found
+    if n_found < 2:
+        return splits
+    if n_found > cfg.split_stitch_max_founders:
+        print(
+            f"[repsplit] stitch SKIPPED: {n_found} founders exceed "
+            f"split_stitch_max_founders={cfg.split_stitch_max_founders} "
+            "(labels keep the unstitched bucketing)",
+            file=sys.stderr,
+        )
+        if metrics is not None:
+            metrics["stitch_skipped_founder_cap"] = True
+        return splits
+
+    # 1. founders re-enter the SAME candidate engine as the pair stage
+    banded = lsh.explode_simhash_chunks(fsigned, cfg)
+    if "band_hashes" in fsigned.columns:
+        banded = lsh.explode_bands(fsigned, cfg).unionByName(banded)
+    pairs, _ = lsh.candidate_pairs(banded, cfg)
+    # within-component pairs only (buckets never span components)
+    cmap = fsigned.select("doc_id", "comp_id")
+    pairs = (
+        pairs.join(
+            cmap.select(F.col("doc_id").alias("src"), F.col("comp_id").alias("c_a")),
+            "src",
+        )
+        .join(
+            cmap.select(F.col("doc_id").alias("dst"), F.col("comp_id").alias("c_b")),
+            "dst",
+        )
+        .where(F.col("c_a") == F.col("c_b"))
+        .select("src", "dst")
+    )
+
+    # 2. SAME batched sketch estimator as the pair stage
+    verified = verify_pairs(pairs, fsigned, cfg).where(F.col("is_edge")).select(
+        "src", "dst"
+    )
+    # bounded collect: past the cap the stitch degrades to a logged skip
+    # (mirrors cc_driver_max_edges — 4×500k rows ≈ 32 MB driver-side)
+    pair_cap = 4 * cfg.split_stitch_max_founders
+    edges = verified.limit(pair_cap + 1).collect()
+    if metrics is not None:
+        metrics["stitch_verified_pairs"] = min(len(edges), pair_cap)
+    if not edges:
+        return splits
+    if len(edges) > pair_cap:
+        print(
+            f"[repsplit] stitch SKIPPED: verified founder pairs exceed "
+            f"{pair_cap} (labels keep the unstitched bucketing)",
+            file=sys.stderr,
+        )
+        if metrics is not None:
+            metrics["stitch_skipped_pair_cap"] = True
+        return splits
+
+    # 3. oracle-order greedy replay over edge-incident founders.
+    # Edge-free founders stay roots and never attract, so they cannot
+    # change any label — only incident founders are processed (their
+    # RELATIVE (repo, path) order is preserved, which is all the greedy
+    # reads).
+    adj: dict[int, set[int]] = {}
+    for e in edges:
+        adj.setdefault(e.src, set()).add(e.dst)
+        adj.setdefault(e.dst, set()).add(e.src)
+    by_comp: dict[int, list[tuple[str, str, int]]] = {}
+    for r in fsigned.select("doc_id", "comp_id", "repo", "path").collect():
+        if r.doc_id in adj:
+            by_comp.setdefault(r.comp_id, []).append((r.repo, r.path, r.doc_id))
+    relabel: dict[int, int] = {}
+    for lst in by_comp.values():
+        lst.sort()  # oracle iteration order within the component
+        root_pos: dict[int, int] = {}
+        for _, _, fid in lst:
+            cands = [g for g in adj[fid] if g in root_pos]
+            if cands:
+                # earliest SURVIVING root this founder verifies against —
+                # roots never un-root later, so targets need no chasing
+                relabel[fid] = min(cands, key=root_pos.__getitem__)
+            else:
+                root_pos[fid] = len(root_pos)
+    if metrics is not None:
+        metrics["stitch_merged_subgroups"] = len(relabel)
+    if not relabel:
+        return splits
+
+    map_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in relabel.items()],
+        "cluster_id long, stitched long",
+    )
+    return splits.join(F.broadcast(map_df), "cluster_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("stitched"), F.col("cluster_id")).alias("cluster_id"),
     )
 
 

@@ -344,7 +344,7 @@ def run_pipeline(
         # (scanner.py:382-395) — precision semantics; subsumes the
         # hybrid group-merge (J6): exact groups linked through reps by
         # a verified pair land in one subgroup
-        splits = rep_verify_split(comp_labels, signed, cfg)
+        splits = rep_verify_split(comp_labels, signed, cfg, metrics=metrics)
         if collect_metrics:
             metrics["split_oversized_components"] = oversized_component_count(
                 comp_labels, cfg

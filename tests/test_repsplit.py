@@ -250,14 +250,24 @@ class TestBatchedGreedyParity:
 class TestMidsizeBucketingRecall:
     """ADVICE r3: split_max_component 100k→10k silently moved
     10k-100k-member components from exact greedy to SimHash-prefix
-    bucketing.  This quantifies that recall cost on a 24k-member
-    component of NEAR-duplicate (mutated, not identical) members:
-    bucketing can only over-split, and the expected loss is members
-    whose simhash mutation flips a prefix bit —
-    P ≈ flips × bits / 256 ≈ 10·4/256 ≈ 16% here, so recall ≈ 0.84
-    expected; the gate asserts ≥ 0.70 and surfaces the measured value."""
+    bucketing.  Round 4 quantified the recall cost on a 24k-member
+    component of NEAR-duplicate (mutated, not identical) members at
+    ~0.84 — members whose simhash mutation flips a prefix bit scatter
+    into the wrong bucket (P ≈ flips × bits / 256 ≈ 10·4/256 ≈ 16%).
+    Round 5 (VERDICT r4 "what's wrong" #3): the cross-bucket founder
+    stitch recovers the scattered subgroups, so the stitched path must
+    clear 0.95 while the stitch-disabled path pins the old baseline.
+    Members carry REAL band_hashes (production shingles→minhash→bands
+    over the sketch universe) so the stitch exercises the same MinHash
+    candidate feed the pipeline uses."""
 
-    def test_24k_near_dup_component_recall(self, spark, cfg):
+    @staticmethod
+    def _mega_component(spark, cfg):
+        from photo_dedup_spark.functions.signatures import (
+            _minhash_from_shingles,
+            band_hashes_py,
+        )
+
         rng = np.random.RandomState(17)
         n_protos, per_proto = 80, 300
         n = n_protos * per_proto  # 24_000 > split_max_component=10_000
@@ -284,6 +294,7 @@ class TestMidsizeBucketingRecall:
                 m = sim_u.copy()
                 for bit in rng.choice(256, size=10, replace=False):
                     m[bit // 64] ^= np.uint64(1) << np.uint64(bit % 64)
+                bands = band_hashes_py(_minhash_from_shingles(vals, cfg), cfg)
                 rows.append(
                     (
                         did,
@@ -292,30 +303,57 @@ class TestMidsizeBucketingRecall:
                         bytearray(sketch_to_bytes(vals.view(np.int64))),
                         0,
                         m.view(np.int64).tolist(),
+                        bands.tolist(),
                     )
                 )
                 proto_of.append(p)
         reps = spark.createDataFrame(
             rows,
             "doc_id long, repo string, path string, sketch binary,"
-            " sketch_b int, simhash array<bigint>",
+            " sketch_b int, simhash array<bigint>, band_hashes array<bigint>",
         )
         comp = spark.createDataFrame(
             [(i, 1) for i in range(1, n + 1)], "doc_id long, cluster_id long"
         )
-        assert oversized_component_count(comp, cfg) == 1  # bucketed path
-        out = rep_verify_split(comp, reps, cfg).collect()
-        label_of = {r.doc_id: r.cluster_id for r in out}
-        # recall: fraction of members in their prototype's MAJORITY cluster
+        return comp, reps, proto_of, n_protos, n
+
+    @staticmethod
+    def _recall(out, proto_of, n_protos, n):
         from collections import Counter
 
+        label_of = {r.doc_id: r.cluster_id for r in out}
         per_proto_labels: dict[int, Counter] = {}
         for doc_id, p in zip(range(1, n + 1), proto_of):
             per_proto_labels.setdefault(p, Counter())[label_of[doc_id]] += 1
         hits = sum(c.most_common(1)[0][1] for c in per_proto_labels.values())
-        recall = hits / n
-        assert recall >= 0.70, f"bucketing recall {recall:.3f} < 0.70"
-        # distinct prototypes must never merge (precision side)
         majors = {c.most_common(1)[0][0] for c in per_proto_labels.values()}
+        return hits / n, majors
+
+    def test_24k_near_dup_component_recall_stitched(self, spark, cfg):
+        comp, reps, proto_of, n_protos, n = self._mega_component(spark, cfg)
+        assert oversized_component_count(comp, cfg) == 1  # bucketed path
+        assert cfg.split_stitch  # default-on
+        metrics: dict = {}
+        out = rep_verify_split(comp, reps, cfg, metrics=metrics).collect()
+        recall, majors = self._recall(out, proto_of, n_protos, n)
+        assert metrics["stitch_merged_subgroups"] > 0
+        assert recall >= 0.95, f"stitched recall {recall:.3f} < 0.95"
+        # distinct prototypes must never merge (precision side)
         assert len(majors) == n_protos
-        print(f"midsize bucketing recall: {recall:.3f}")
+        print(
+            f"midsize stitched recall: {recall:.3f} "
+            f"(founders={metrics['stitch_founders']}, "
+            f"merged={metrics['stitch_merged_subgroups']})"
+        )
+
+    def test_24k_near_dup_component_recall_unstitched_baseline(self, spark, cfg):
+        from dataclasses import replace
+
+        comp, reps, proto_of, n_protos, n = self._mega_component(spark, cfg)
+        out = rep_verify_split(
+            comp, reps, replace(cfg, split_stitch=False)
+        ).collect()
+        recall, majors = self._recall(out, proto_of, n_protos, n)
+        assert recall >= 0.70, f"bucketing recall {recall:.3f} < 0.70"
+        assert len(majors) == n_protos
+        print(f"midsize unstitched recall: {recall:.3f}")
