@@ -74,10 +74,18 @@ def _chain_token(t: int) -> str:
 
 
 def _chain_member(p: int) -> str:
+    # Separators depend on the GLOBAL token index, so the overlapping
+    # token range of two windows is BYTE-identical — character shingles
+    # then see the full token overlap.  (The first cut of this helper
+    # broke lines at per-member-relative positions; the differing
+    # newline placement diluted shingle Jaccard of adjacent members to
+    # ~0.54 < τ — measured, no chain edges formed at bench scale.)
     start = p * _CHAIN_STEP
-    toks = [_chain_token(t) for t in range(start, start + _CHAIN_TOKENS)]
-    lines = [" ".join(toks[j : j + 8]) for j in range(0, len(toks), 8)]
-    return "\n".join(lines) + "\n"
+    parts = []
+    for t in range(start, start + _CHAIN_TOKENS):
+        parts.append(_chain_token(t))
+        parts.append("\n" if t % 8 == 7 else " ")
+    return "".join(parts)
 
 
 def _rows_for_base(i: int, size_funcs: int, chain_every: int = 0) -> list[tuple]:
