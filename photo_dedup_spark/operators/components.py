@@ -210,11 +210,18 @@ def _driver_union_find(
     nodes: DataFrame, edges: DataFrame, n_edges: int
 ) -> tuple[DataFrame, dict]:
     """Driver-side component resolution for small rep graphs: one Arrow
-    collect, vectorized numpy min-label propagation with pointer
-    jumping (labels decrease monotonically ⇒ guaranteed fixpoint in
-    O(log n) rounds), one label map joined back to the distributed
-    ``nodes`` frame.  Produces the same value-based label as the
-    distributed loop: min doc_id per component."""
+    collect, vectorized numpy min-hooking with FULL shortcutting
+    (Shiloach–Vishkin shape: hook every node to the min label across
+    its edges, then compress label chains to their roots before the
+    next hook), one label map joined back to the distributed ``nodes``
+    frame.  Full compression matters: with ONE pointer jump per round
+    — this function's first form — a path-shaped mega-component needs
+    O(diameter) rounds (measured 5,262 rounds on the planted 15k-member
+    chain); after compression every tree is a star and each hook round
+    merges every star with a neighbor, so star count at least halves —
+    O(log n) outer rounds (9 on the same chain).  Produces the same
+    value-based label as the distributed loop: min doc_id per
+    component."""
     import numpy as np
     import pandas as pd
 
@@ -240,10 +247,21 @@ def _driver_union_find(
     history: list[int] = []
     while True:
         prev = lab.copy()
-        m = np.minimum(lab[e1], lab[e2])
-        np.minimum.at(lab, e1, m)
-        np.minimum.at(lab, e2, m)
-        lab = lab[lab]  # pointer jump: label <- label(label)
+        # hook the ROOTS: each edge's two current roots adopt their
+        # minimum.  Hooking the endpoint NODES instead (the first form)
+        # moves information one edge-hop per round — O(diameter) again
+        # (measured 4,400 rounds on the 15k path even WITH compression).
+        ra, rb = lab[e1], lab[e2]
+        m = np.minimum(ra, rb)
+        np.minimum.at(lab, ra, m)
+        np.minimum.at(lab, rb, m)
+        # full shortcut: compress label chains to their roots (labels
+        # strictly decrease along a chain, so this terminates)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
         changed = int((lab != prev).sum())
         history.append(changed)
         if changed == 0:
