@@ -1969,7 +1969,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real baseline JPEG with a per-row EXIF DateTimeOriginal (APP1/TIFF
     extraction + F5 multi-format parse, reference metadata.py:63-121);
     of the rest, 11-cycle residues 3/5 carry fixed WEBP-lossless and
-    GIF payloads (native VP8L and LZW decodes), 7-cycle residues 1/2
+    GIF payloads (native VP8L and LZW decodes), residues 7/9 per-row
+    LOSSY-VP8 WEBP and HEIC containers — the gated-codec tier, whose
+    rows carry REAL container metadata (width/height from the RFC 6386
+    frame header / ISOBMFF ispe walk, functions/containers.py) with
+    NULL features and a ``gated codec`` marker — 7-cycle residues 1/2
     per-row PNG and TIFF gradients (zlib inflate; IFD walk), everything
     else per-row netpbm.  Rows-only: binary codec work is not
     SQL-expressible; features are surfaced as a sha256 digest so every
@@ -2014,6 +2018,43 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ifd += struct.pack("<I", 0)
         return b"II*\0" + struct.pack("<I", 8 + len(raster)) + raster + ifd
 
+    def _vp8_lossy(w: int, h: int) -> bytes:
+        # RFC 6386 §9.1 key-frame header (tag + 0x9D012A + 14-bit dims);
+        # partition bytes zeroed — pixel decode is gated, the metadata
+        # tier reads only the header (functions/containers.py)
+        part = 64
+        tag = (part << 5) | (1 << 4)  # keyframe, version 0, show_frame
+        hdr = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        hdr += b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        payload = hdr + b"\x00" * part
+        pad = b"\x00" if len(payload) % 2 else b""
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(payload) + len(pad))
+            + b"WEBP"
+            + b"VP8 "
+            + struct.pack("<I", len(payload))
+            + payload
+            + pad
+        )
+
+    def _heic_meta(w: int, h: int) -> bytes:
+        # minimal ISOBMFF: ftyp(heic) + meta(hdlr + iprp(ipco(ispe×2)))
+        # — thumbnail extent first so the walk must pick the larger
+        # primary (ISO 23008-12 §6.5.3)
+        def box(t: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        ispe_t = box(
+            b"ispe",
+            b"\x00\x00\x00\x00" + struct.pack(">II", max(w // 4, 1), max(h // 4, 1)),
+        )
+        ispe_m = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+        iprp = box(b"iprp", box(b"ipco", ispe_t + ispe_m))
+        hdlr = box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"pict" + b"\x00" * 12)
+        meta = box(b"meta", b"\x00\x00\x00\x00" + hdlr + iprp)
+        return box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1") + meta
+
     def _gen(batches):
         for pdf in batches:
             ids, payloads = [], []
@@ -2040,6 +2081,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(_WEBP_TEMPLATE)
                 elif did % 11 == 5:
                     payloads.append(_GIF_TEMPLATE)
+                elif did % 11 == 7:
+                    payloads.append(_vp8_lossy(w, h))
+                elif did % 11 == 9:
+                    payloads.append(_heic_meta(w, h))
                 elif did % 7 == 1:
                     payloads.append(_png_gray(gray))
                 elif did % 7 == 2:

@@ -39,10 +39,15 @@ Codec support is tiered, honestly:
       - FLAC audio (functions/flac.py: all subframe types incl. LPC,
         rice partitions + escapes, all four stereo decorrelation
         modes, CRC-verified frames).
-  * GATED: remaining compressed codecs (lossy-VP8 WEBP/HEIC/MP3/H.264) need
-    libraries this container doesn't ship — those payloads raise a
-    per-row decode error (carried as DATA, the count-and-drop
-    contract), or use the deterministic ``fake=True`` decoder in tests.
+  * METADATA-ONLY (round 5): lossy-VP8 WEBP and HEIF/HEIC/AVIF pixel
+    decode stays gated, but those rows now carry REAL container
+    metadata — width/height/codec parsed from the VP8 frame header /
+    VP8X canvas / ISOBMFF ispe boxes (functions/containers.py) — with
+    NULL features and a ``gated codec …`` decode_error marker.
+  * GATED: remaining compressed codecs (MP3/H.264 and malformed
+    containers) raise a per-row decode error (carried as DATA, the
+    count-and-drop contract), or use the deterministic ``fake=True``
+    decoder in tests.
 
 Operators:
   * decode_image_features — decode → (width, height, channels) +
@@ -335,6 +340,7 @@ def decode_image_features(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 out["media_id"].append(mid)
                 exif_dt = None
+                gated = None  # gated-codec marker: metadata-only row
                 try:
                     if payload is None:
                         raise ValueError("null payload")
@@ -366,11 +372,44 @@ def decode_image_features(
                     elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
                         # REAL WEBP-lossless decode (full VP8L: prefix
                         # codes, LZ77+color cache, all 4 transforms);
-                        # lossy VP8 stays gated (typed per-row error)
+                        # lossy VP8 pixel decode stays gated, but the
+                        # row now carries REAL container metadata
+                        # (width/height/codec from the RFC 6386 frame
+                        # header / VP8X canvas) instead of a bare error
                         from photo_dedup_spark.functions.webp import decode_webp
 
-                        w, h, c, px = decode_webp(data)
-                        feats = dhash64(px)
+                        try:
+                            w, h, c, px = decode_webp(data)
+                            feats = dhash64(px)
+                        except NotImplementedError:
+                            from photo_dedup_spark.functions.containers import (
+                                webp_metadata,
+                            )
+
+                            m = webp_metadata(data)
+                            w, h, c, feats = m["width"], m["height"], None, None
+                            gated = (
+                                f"gated codec webp/{m['codec']}: container "
+                                "metadata only (lossy VP8 pixel decode needs "
+                                "external libraries)"
+                            )
+                    elif len(data) >= 16 and data[4:8] == b"ftyp":
+                        # HEIF family (HEIC/AVIF): pixel decode is gated
+                        # (HEVC/AV1), but dimensions come from the real
+                        # ISOBMFF ispe walk (ISO 23008-12) — reference
+                        # envelope includes .heic via a PIL plugin
+                        # (hasher.py:301-310)
+                        from photo_dedup_spark.functions.containers import (
+                            heif_metadata,
+                        )
+
+                        m = heif_metadata(data)
+                        w, h, c, feats = m["width"], m["height"], None, None
+                        gated = (
+                            f"gated codec heif/{m['brand']}: container "
+                            "metadata only (HEVC/AV1 pixel decode needs "
+                            "external libraries)"
+                        )
                     elif data[:4] in (b"II*\0", b"MM\0*"):
                         # REAL TIFF/DNG decode (best decodable IFD —
                         # a DNG resolves to its embedded preview, as
@@ -391,10 +430,12 @@ def decode_image_features(
                     out["height"].append(h)
                     out["channels"].append(c)
                     out["features"].append(
-                        np.asarray(feats, dtype=np.float32).tolist()
+                        None
+                        if feats is None
+                        else np.asarray(feats, dtype=np.float32).tolist()
                     )
                     out["exif_datetime"].append(exif_dt)
-                    out["decode_error"].append(None)
+                    out["decode_error"].append(gated)
                 except Exception as e:  # noqa: BLE001 — count-and-drop contract
                     # Malformed payloads surface arbitrary internal errors
                     # (IndexError from a truncated JPEG entropy stream,

@@ -171,3 +171,84 @@ class TestStreamingEndToEnd:
         # u1's two closed sessions emitted once the watermark passed;
         # u2's session is still open (no later event) → not emitted
         assert got == {("u1", 2), ("u1", 1)}
+
+    def test_restart_recovers_state_and_emits_exactly_once(self, spark, tmp_path):
+        """Kill-and-resume from a real checkpointLocation (r4 VERDICT
+        next-round #5 — the streaming analog of the batch resume guard,
+        reference cleaner.py:694-705 / plans/checkpoint.py):
+
+          run 1 processes two files and stops (availableNow);
+          new files arrive; run 2 restarts from the SAME checkpoint.
+
+        Asserts across the restart: (a) exactly-once — run 2 re-emits
+        NONE of run 1's closed sessions; (b) state recovery — a session
+        left OPEN by run 1 absorbs a run-2 event and emits ONCE with
+        events from BOTH runs; (c) source-offset recovery — run 1's
+        files are not re-read (no duplicate sessions anywhere)."""
+        sch = "user string, eid string, ts timestamp"
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        sink_dir = str(tmp_path / "out")
+        now = time.time()
+        gap, delay = "30 minutes", "1 minute"  # 1800 s / 60 s
+
+        def run() -> list:
+            # fault-tolerant FILE sink — the memory sink refuses
+            # checkpoint recovery, and recovery is the point here
+            stream = (
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = session_stream(stream, "user", "ts", gap=gap, delay=delay)
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [
+                (r.user, int(r.session_start.timestamp()) % 100_000, r.n_events)
+                for r in spark.read.parquet(sink_dir).collect()
+            ]
+
+        base = int(_ts(0).timestamp())
+        # run 1, file A: u1 session α (t=0,60) + u1 session β opener (t=9000)
+        self._write_file(
+            spark,
+            src,
+            [("u1", "e1", _ts(0)), ("u1", "e2", _ts(60)), ("u1", "e3", _ts(9000))],
+            schema=sch,
+            mtime=now - 100,
+        )
+        # run 1, file B: u9 advances the watermark to 9940 — closes α
+        # (ends 1860), leaves β (ends 10800) and u9's own session open
+        self._write_file(
+            spark, src, [("u9", "e4", _ts(10_000))], schema=sch, mtime=now - 50
+        )
+        rows1 = run()
+        assert sorted(rows1) == [("u1", base % 100_000, 2)]  # α only; β, u9 open
+
+        # ---- the stream is now STOPPED; new files arrive ----
+        # file C: u1 extends β (gap 900 < 1800 ⇒ same session, if state
+        # survived the restart); file D closes everything
+        self._write_file(
+            spark, src, [("u1", "e5", _ts(9900))], schema=sch, mtime=now
+        )
+        self._write_file(
+            spark, src, [("u8", "e6", _ts(100_000))], schema=sch, mtime=now + 50
+        )
+        rows2 = run()
+        # β spans BOTH runs (9000 from run 1 + 9900 from run 2 ⇒ n=2):
+        # state recovered; α appears exactly ONCE in the total output
+        # (not re-emitted on restart, run 1's files not re-read); u9
+        # emits once; u8's session is still open → absent
+        assert sorted(rows2) == sorted(
+            [
+                ("u1", base % 100_000, 2),  # α, from run 1 only
+                ("u1", (base + 9000) % 100_000, 2),  # β, stitched across runs
+                ("u9", (base + 10_000) % 100_000, 1),
+            ]
+        )
