@@ -170,8 +170,18 @@ def connected_components(
                 cur = _small_star(_large_star(cur))
                 rounds_done += 1
             cur = _materialize(cur, f"round_{rounds_done}")
+            # symmetric-difference count in ONE job: signed union, sum
+            # per edge, non-zero ⇒ present on one side only (both
+            # frames are distinct sets) — the convergence check is the
+            # loop's serial fraction, so one aggregate beats two
+            # exceptAll scans
             n_changed = int(
-                cur.exceptAll(star).count() + star.exceptAll(cur).count()
+                cur.withColumn("_s", F.lit(1))
+                .unionByName(star.withColumn("_s", F.lit(-1)))
+                .groupBy("u", "v")
+                .agg(F.sum("_s").alias("_d"))
+                .where(F.col("_d") != 0)
+                .count()
             )
             star = cur
             history.append(n_changed)

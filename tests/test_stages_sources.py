@@ -397,27 +397,47 @@ class TestMultimodal:
         from photo_dedup_spark.functions.multimodal import decode_image_features
 
         # LOSSY WebP (VP8 intra frames): lossless VP8L graduated to a
-        # real decoder in round 4 (tests/test_webp.py), lossy stays in
-        # the gated tier → per-row "external" error from a well-formed
-        # RIFF walk; a TRUNCATED JPEG reaches the real decoder and
-        # yields its parse error — count-and-drop either way, no crash
+        # real decoder in round 4 (tests/test_webp.py), lossy pixel
+        # decode stays gated — but since the round-5 container-metadata
+        # tier (functions/containers.py) the row carries REAL
+        # width/height parsed from the RFC 6386 keyframe header plus a
+        # per-row "external" error; a TRUNCATED JPEG reaches the real
+        # decoder and yields its parse error — count-and-drop either
+        # way, no crash
         import struct as _struct
 
-        vp8_chunk = b"VP8 " + _struct.pack("<I", 10) + b"\x00" * 10
+        # valid VP8 keyframe header: 3-byte tag (frame_type=0 key),
+        # 0x9D012A start code, 14-bit width=320 / height=240
+        vp8_body = (
+            b"\x00\x00\x00"
+            + b"\x9d\x01\x2a"
+            + _struct.pack("<H", 320)
+            + _struct.pack("<H", 240)
+        )
+        vp8_chunk = b"VP8 " + _struct.pack("<I", len(vp8_body)) + vp8_body
         lossy_webp = (
             b"RIFF" + _struct.pack("<I", 4 + len(vp8_chunk)) + b"WEBP" + vp8_chunk
         )
+        # malformed lossy webp (zeroed keyframe start code) → typed
+        # parse error from the container walk, still a row not a crash
+        bad_body = b"\x00" * 10
+        bad_chunk = b"VP8 " + _struct.pack("<I", len(bad_body)) + bad_body
+        bad_webp = b"RIFF" + _struct.pack("<I", 4 + len(bad_chunk)) + b"WEBP" + bad_chunk
         media = spark.createDataFrame(
             [
                 (1, bytearray(lossy_webp)),
                 (2, bytearray(b"\xff\xd8\xff\xe0rest")),
+                (3, bytearray(bad_webp)),
             ],
             "media_id long, payload binary",
         )
         rows = decode_image_features(media, fake=False).orderBy("media_id").collect()
         assert rows[0].features is None
+        assert (rows[0].width, rows[0].height) == (320, 240)
         assert "external" in rows[0].decode_error
         assert rows[1].features is None and rows[1].decode_error
+        assert rows[2].features is None
+        assert "keyframe start code" in rows[2].decode_error
 
     def test_truncated_mid_scan_jpeg_is_row_error(self, spark):
         # ADVICE r3: a VALID jpeg cut inside the entropy-coded scan used
