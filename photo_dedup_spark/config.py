@@ -87,11 +87,14 @@ class DedupConfig:
     arrow_max_records: int = 2_000  # keep content batches ≲ 256 MiB
     cc_max_iters: int = 50
     # convergence checks are the CC loop's only blocking actions: each
-    # one materializes the (lazy) propagation rounds since the last
-    # check plus a changed-count scan.  Checking every 2 rounds halves
-    # the job/barrier count (the loop's serial fraction) at the cost of
-    # at most one redundant round after the fixpoint.
-    cc_check_every: int = 2
+    # one materializes the (lazy) star rounds since the last check
+    # (with a free observe-signature; an exact diff job runs only when
+    # the signature stops moving).  Checking every 4 rounds quarters
+    # the job/barrier count — the loop's serial fraction — at the cost
+    # of at most 3 redundant (cheap, already-fixpoint) rounds.  Star
+    # contraction converges in O(log n) rounds, so the overshoot is
+    # bounded and the cycle count scales as log(n)/4.
+    cc_check_every: int = 4
     # rep graphs at or below this edge count resolve on the DRIVER via
     # union-find: the iterative join loop costs ~3 latency-bound jobs
     # per round × O(log n) rounds of pure serial scheduling time, which

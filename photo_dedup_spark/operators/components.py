@@ -56,12 +56,21 @@ def _large_star(e: DataFrame) -> DataFrame:
     """One large-star step (Kiveris et al. §3): for every node u, point
     each STRICTLY LARGER neighbor v at m = min(Γ(u) ∪ {u}).  Output
     edges are (u=larger, v=smaller); strictly-smaller neighbors are NOT
-    re-emitted — the alternating small-star step owns them."""
+    re-emitted — the alternating small-star step owns them.
+
+    The neighborhood minimum is a WINDOW aggregate (one exchange on u)
+    rather than groupBy-then-self-join (exchange + join): the loop's
+    scaling cost at small graph sizes is per-stage scheduling latency
+    (its data is tiny relative to the corpus), so fewer exchanges per
+    round directly shrink the pipeline's serial fraction; at 10^12-edge
+    scale both forms hash-partition the symmetrized edges by u, so the
+    skew profile (one task per hub node) is unchanged."""
+    from pyspark.sql import Window
+
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -72,18 +81,30 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star step: orient every edge (u=larger, v=smaller);
     for every node u fold N(u) = its smaller neighbors onto
-    m = min(N(u)) — emit (v, m) for v ∈ N(u) ∖ {m} plus (u, m)."""
+    m = min(N(u)) — emit (v, m) for v ∈ N(u) ∖ {m} plus (u, m).
+
+    Window form, same rationale as :func:`_large_star`: per row
+    (u, v, m) emit both (v, m) and (u, m) via one explode — their union
+    over N(u) is exactly folded ∪ {(u, m)} ∪ {(m, m)}, and the (m, m)
+    self-loop dies in the u ≠ v filter; duplicates die in the final
+    distinct (min is duplicate-insensitive, so upstream multiplicity
+    never changes the result)."""
+    from pyspark.sql import Window
+
     o = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
-    folded = (
-        o.join(mins, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    w = Window.partitionBy("u")
+    pairs = o.withColumn("m", F.min("v").over(w)).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+            )
+        ).alias("edge")
     )
     return (
-        folded.unionByName(mins.select("u", F.col("m").alias("v")))
+        pairs.select("edge.u", "edge.v")
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -107,14 +128,23 @@ def connected_components(
     the 100 TB path: a 10⁶-member boilerplate chain converges in ~20
     rounds where neighbor-min propagation would need 10⁶.
 
-    The loop's only blocking actions are the convergence checks: every
-    ``cfg.cc_check_every`` rounds the edge set is materialized and
-    diffed (both ``exceptAll`` directions) against the last
-    materialized state — the star steps strictly decrease a potential
-    function until fixpoint (no oscillation), so an unchanged edge set
-    across the batch IS convergence.  Per-check change counts land in
-    the metrics dict (the convergence telemetry the north rule asks
-    for).
+    The loop's only blocking actions are the per-cycle materializations
+    — convergence detection costs ZERO extra jobs on non-final cycles.
+    Each materialize carries an ``observe`` signature (edge count +
+    exact decimal sum of per-edge xxhash64) computed DURING the write;
+    a differing signature PROVES the edge set changed (both frames are
+    distinct sets, so equal sets always produce equal signatures — the
+    "continue" branch is certain, never probabilistic).  Only when the
+    signature matches the previous cycle's does the loop run one exact
+    symmetric-difference job to confirm the fixpoint, so a 2⁻⁶⁴-style
+    hash collision can cost one redundant check job but can never
+    terminate the loop early: termination is gated on the EXACT diff.
+    The star steps strictly decrease a potential function until
+    fixpoint (no oscillation), so an unchanged edge set across the
+    batch IS convergence.  Per-check telemetry lands in the metrics
+    dict (the convergence telemetry the north rule asks for):
+    ``cc_edges_per_check`` (observed edge counts), ``cc_changed_per_iter``
+    (1 = signature proved change, 0 = exact-confirmed fixpoint).
 
     HYBRID: rep graphs with ≤ ``cfg.cc_driver_max_edges`` edges skip
     the loop entirely and resolve by union-find on the driver (one
@@ -145,15 +175,31 @@ def connected_components(
     # and the scratch files double as per-iteration lineage for resume
     # diagnostics (north-rule checkpoint story).  Only graphs above
     # cc_driver_max_edges ever pay it.
+    from pyspark.sql import Observation
+
     spark = nodes.sparkSession
     scratch = tempfile.mkdtemp(prefix="cc_edges_")
 
-    def _materialize(df: DataFrame, tag: str) -> DataFrame:
+    def _materialize(df: DataFrame, tag: str) -> tuple[DataFrame, tuple]:
+        """Write + re-read the edge frame, returning it with its
+        set signature (count, Σ xxhash64(u,v) as exact decimal) —
+        computed by ``observe`` inside the write job, zero extra jobs.
+        Equal sets ⇒ equal signatures (certainty); unequal signatures
+        ⇒ unequal sets (the cheap, certain "keep looping" signal)."""
         path = os.path.join(scratch, tag)
-        df.write.parquet(path)
-        return spark.read.parquet(path)
+        obs = Observation()
+        df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).write.parquet(path)
+        sig = (int(obs.get["n"]), int(obs.get["h"]))
+        return spark.read.parquet(path), sig
 
-    star = _materialize(
+    star, sig = _materialize(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct(),
@@ -161,6 +207,7 @@ def connected_components(
     )
 
     history: list[int] = []
+    edges_per_check: list[int] = [sig[0]]
     rounds_done = 0
     converged = False
     try:
@@ -169,23 +216,26 @@ def connected_components(
             for _ in range(min(cfg.cc_check_every, cfg.cc_max_iters - rounds_done)):
                 cur = _small_star(_large_star(cur))
                 rounds_done += 1
-            cur = _materialize(cur, f"round_{rounds_done}")
-            # symmetric-difference count in ONE job: signed union, sum
-            # per edge, non-zero ⇒ present on one side only (both
-            # frames are distinct sets) — the convergence check is the
-            # loop's serial fraction, so one aggregate beats two
-            # exceptAll scans
-            n_changed = int(
-                cur.withColumn("_s", F.lit(1))
-                .unionByName(star.withColumn("_s", F.lit(-1)))
-                .groupBy("u", "v")
-                .agg(F.sum("_s").alias("_d"))
-                .where(F.col("_d") != 0)
-                .count()
-            )
-            star = cur
-            history.append(n_changed)
-            converged = n_changed == 0
+            cur, cur_sig = _materialize(cur, f"round_{rounds_done}")
+            edges_per_check.append(cur_sig[0])
+            if cur_sig != sig:
+                changed = 1  # signatures differ ⇒ sets PROVABLY differ
+            else:
+                # signature matched — confirm the fixpoint EXACTLY with
+                # one symmetric-difference job (signed union, sum per
+                # edge; both frames are distinct sets): termination
+                # never rests on the hash
+                changed = int(
+                    cur.withColumn("_s", F.lit(1))
+                    .unionByName(star.withColumn("_s", F.lit(-1)))
+                    .groupBy("u", "v")
+                    .agg(F.sum("_s").alias("_d"))
+                    .where(F.col("_d") != 0)
+                    .count()
+                )
+            star, sig = cur, cur_sig
+            history.append(changed)
+            converged = changed == 0
         if not converged:
             raise RuntimeError(
                 f"connected_components did not converge in {cfg.cc_max_iters} "
@@ -211,6 +261,7 @@ def connected_components(
     metrics = {
         "cc_iterations": rounds_done,
         "cc_changed_per_iter": history,
+        "cc_edges_per_check": edges_per_check,
         "cc_mode": "distributed",
     }
     return labels, metrics
