@@ -1422,6 +1422,114 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+_OVERLAP_VENDOR_EVERY = 7  # every 7th doc is planted into a vendored twin source
+_OVERLAP_DF_CAP = 8  # shas shared by more sources = boilerplate, excluded
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level content-overlap pairs — fork / vendored-library
+    detection, the step a training-data pipeline runs ABOVE document
+    dedup (drop whole vendored copies before paying per-document
+    near-dup cost; documents.source ≅ input_hint's repo column).
+
+    Two sources overlap when they carry the SAME content sha; the
+    score is Jaccard over their distinct-sha sets.  Scale shape: the
+    sha self-join's work is Σ_sha df², so shas carried by more than
+    ``_OVERLAP_DF_CAP`` sources (MIT licenses, empty __init__.py —
+    present in every repo, df ≈ n_repos, pairs quadratic) are EXCLUDED
+    before the join, bounding work at cap × Σ df — the same df-cap
+    argument as the n-gram inverted index (q_ngram_jaccard_pairs).
+    In a production run the cap routes to a logged boilerplate census
+    (q_boilerplate_prefixes) instead of silently vanishing.
+
+    De-vacuation (testdata sources share no content): every
+    ``_OVERLAP_VENDOR_EVERY``-th doc_id is planted into a
+    ``vendor_of_<source>`` twin with IDENTICAL text in both engines,
+    so each source pairs with its vendored copy at jaccard =
+    shared / n_distinct (the cap stays dormant at sf scale — every
+    planted sha has df exactly 2 — but is part of BOTH queries'
+    semantics)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    planted = d.where(F.col("doc_id") % _OVERLAP_VENDOR_EVERY == 0).select(
+        F.concat(F.lit("vendor_of_"), F.col("source")).alias("source"), "text"
+    )
+    h = (
+        d.select("source", "text")
+        .unionByName(planted)
+        .select("source", F.sha2(F.col("text"), 256).alias("sha"))
+        .distinct()
+    )
+    keep = (
+        h.groupBy("sha")
+        .agg(F.count("*").alias("n_src"))
+        .where(F.col("n_src") <= _OVERLAP_DF_CAP)
+        .select("sha")
+    )
+    hd = h.join(keep, "sha")
+    sizes = hd.groupBy("source").agg(F.countDistinct("sha").alias("n"))
+    pairs = (
+        hd.alias("a")
+        .join(hd.alias("b"), "sha")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("sha").alias("shared_texts"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("n").alias("_na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("n").alias("_nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_texts",
+            (
+                F.col("shared_texts").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_texts"))
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH all_docs AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'vendor_of_' || source AS source, text
+  FROM documents WHERE doc_id % {_OVERLAP_VENDOR_EVERY} = 0
+), h AS (
+  SELECT DISTINCT source, sha256(text) AS sha FROM all_docs
+), keep AS (
+  SELECT sha FROM h GROUP BY sha HAVING COUNT(*) <= {_OVERLAP_DF_CAP}
+), hd AS (
+  SELECT h.source, h.sha FROM h JOIN keep USING (sha)
+), sizes AS (
+  SELECT source, COUNT(DISTINCT sha) AS n FROM hd GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(DISTINCT a.sha) AS shared_texts
+  FROM hd a JOIN hd b ON a.sha = b.sha AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_texts,
+       CAST(p.shared_texts AS DOUBLE) / (sa.n + sb.n - p.shared_texts) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
 _BOILERPLATE_PREFIX_CHARS = 128
 _BOILERPLATE_MIN_DOCS = 2  # ≥2 sharers = a bucket the pair stage will square
 
@@ -2360,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "asof_clicks": q_asof_clicks,
         "source_dup_stats": q_source_dup_stats,
+        "source_overlap": q_source_overlap,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "secret_scan": q_secret_scan,
         "source_quota_sample": q_source_quota_sample,
@@ -2412,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": SQL_SESSION_STATS,
         "asof_clicks": SQL_ASOF_CLICKS,
         "source_dup_stats": SQL_SOURCE_DUP_STATS,
+        "source_overlap": SQL_SOURCE_OVERLAP,
         "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
         "secret_scan": SQL_SECRET_SCAN,
         "source_quota_sample": SQL_SOURCE_QUOTA_SAMPLE,
