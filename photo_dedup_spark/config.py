@@ -84,6 +84,31 @@ class DedupConfig:
     # shape knob, so it lives here and folds into config_hash() like
     # every other scale decision (r4 VERDICT "what's wrong" #2).
     narrow_pairs_max_input_bytes: int = 64 * 1024 * 1024
+    # Small/unsplittable scans (e.g. a single-row-group parquet file —
+    # the driver testdata ships documents.parquet as ONE row group, so
+    # the scan cannot exceed 1 task no matter how finely splits are
+    # planned) are round-robin widened to the session shuffle width
+    # right after ingest, so the keys pass and the signature pandas UDF
+    # parallelize across every core instead of one.  The exchange moves
+    # at most this many content bytes — trivial by construction.  Real
+    # cluster corpora (many files / many row groups) exceed the cap and
+    # are left exactly as scanned: widening them would shuffle the full
+    # corpus content for nothing.  (guide §2.5 "input skew: one huge
+    # unsplittable file — repartition immediately after the read")
+    widen_small_scan_bytes: int = 256 * 1024 * 1024
+    # Verify strategy (operators/verify.py): candidate pairs are scored
+    # tile-locally — docs hash into nb blocks, a pair lands in the
+    # unordered block tile {blk(src), blk(dst)}, each doc's sketch
+    # ships once per tile it participates in instead of once per pair
+    # (measured at bench sf1.0: 656k sketch replicas vs 8.8M per-pair
+    # attachments; replicas ≤ 2×pairs always, so tiling never loses).
+    # nb scales with the input so per-tile sketch volume stays roughly
+    # constant as the corpus grows: nb = clamp(in_bytes / block_bytes,
+    # 16, 4096).  Unknown input size (non-file sources) falls back to
+    # the classic per-pair join — the conservative, shape-known path.
+    verify_tile_block_bytes: int = 256 * 1024 * 1024
+    verify_tile_min_blocks: int = 16
+    verify_tile_max_blocks: int = 4096
     arrow_max_records: int = 2_000  # keep content batches ≲ 256 MiB
     cc_max_iters: int = 50
     # convergence checks are the CC loop's only blocking actions: each

@@ -159,9 +159,17 @@ def connected_components(
     and is pinned by the same equivalence tests (bit-identical labels,
     toy graphs through the 171k-file planted-chain corpus).
     """
-    n_edges_capped = edges.limit(cfg.cc_driver_max_edges + 1).count()
-    if n_edges_capped <= cfg.cc_driver_max_edges:
-        return _driver_union_find(nodes, edges, n_edges_capped)
+    # ONE job decides the route AND feeds the driver path: collect up
+    # to cap+1 edges via Arrow — under the cap that collect IS the
+    # union-find input (the former separate limit().count() probe was
+    # a redundant materialization of the same edge set).
+    epd = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .limit(cfg.cc_driver_max_edges + 1)
+        .toPandas()
+    )
+    if len(epd) <= cfg.cc_driver_max_edges:
+        return _driver_union_find(nodes, epd)
 
     # Per-check PARQUET round-trip, not localCheckpoint, for the loop
     # feedback.  localCheckpoint truncates lineage but the resulting
@@ -267,9 +275,7 @@ def connected_components(
     return labels, metrics
 
 
-def _driver_union_find(
-    nodes: DataFrame, edges: DataFrame, n_edges: int
-) -> tuple[DataFrame, dict]:
+def _driver_union_find(nodes: DataFrame, epd) -> tuple[DataFrame, dict]:
     """Driver-side component resolution for small rep graphs: one Arrow
     collect, vectorized numpy min-hooking with FULL shortcutting
     (Shiloach–Vishkin shape: hook every node to the min label across
@@ -287,6 +293,7 @@ def _driver_union_find(
     import pandas as pd
 
     spark = nodes.sparkSession
+    n_edges = len(epd)
     if n_edges == 0:
         labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
         return labels, {
@@ -296,9 +303,6 @@ def _driver_union_find(
             "cc_driver_edges": 0,
         }
 
-    epd = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).toPandas()
     src = epd["src"].to_numpy(dtype=np.int64)
     dst = epd["dst"].to_numpy(dtype=np.int64)
     ids = np.unique(np.concatenate([src, dst]))  # sorted ⇒ index order = id order

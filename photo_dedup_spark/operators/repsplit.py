@@ -93,6 +93,7 @@ def rep_verify_split(
     reps: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     metrics: dict | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(rep doc_id, component id) × (rep doc_id, repo, path, sketch,
     sketch_b, simhash) → (doc_id, cluster_id) with cluster_id = the
@@ -249,7 +250,7 @@ def rep_verify_split(
     # numPartitions repartition on the exact grouping key is immune to
     # AQE coalescing and satisfies the grouped-map's clustering
     # requirement, so no second exchange is inserted.
-    n_parts = int(
+    n_parts = num_partitions or int(
         members.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     splits = (

@@ -20,13 +20,33 @@ Per pair we compute:
   * sketch Jaccard (stage-2 verify, RMS analog),
   * sketch containment of the smaller set (north-rule substring check
     for truncated/vendored copies),
-  * 256-bit SimHash Hamming — JVM-side ``bit_count(xor)`` on the
-    signature words.
+  * 256-bit SimHash Hamming — ``bit_count(xor)`` on the signature words.
 
 An edge survives iff ``jaccard >= τ`` OR ``containment >= τ_c``; the
 Hamming path is candidate-generation only (mirrors the reference where
 dHash proposes and RMS disposes).  Per-pair exceptions inside the UDF
 yield a non-match verdict (the ``inf`` contract).
+
+TWO physical strategies, identical output (round-6 optimization):
+
+  * :func:`verify_pairs` (classic) — per-pair equi-joins attach both
+    sketches to every candidate row.  Shuffled bytes are
+    O(pairs × sketch): at bench sf1.0 (4.4M candidates × ~2 KB
+    sketches) the two payload exchanges moved ~18 GB for 2.4k
+    surviving edges and dominated the flagship wall (guide §8's exact
+    anti-pattern: heavy opaque payload shuffled per decision row).
+  * :func:`verify_pairs` with ``tile_blocks=nb`` — block-tiled gather:
+    docs are hashed into ``nb`` blocks, a pair lands in the unordered
+    tile {blk(src), blk(dst)}, and each doc's sketch ships ONCE per
+    tile it participates in (``distinct (doc, tile)`` replicas — at
+    bench sf1.0 that is 656k sketch copies instead of 8.8M, a 13×
+    byte cut; replicas ≤ 2×pairs ALWAYS, so the tiled form never
+    ships more than the classic one).  Inside a tile the pairs are
+    scored by the same batched lexsort kernel via a doc-indexed
+    gather.  Per-tile memory is bounded by the two blocks' sketch
+    volume, which the caller controls through ``nb`` (pipeline derives
+    it from the input-scan size so block payloads stay roughly
+    constant as the corpus grows).
 """
 
 from __future__ import annotations
@@ -47,19 +67,61 @@ _VERDICT = StructType(
 )
 
 
+def _score_prepared(
+    n: int,
+    ok: np.ndarray,
+    lens_a: np.ndarray,
+    lens_b: np.ndarray,
+    vals_a: list,
+    vals_b: list,
+    both_empty_exact: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched sketch-overlap arithmetic shared by both strategies.
+
+    Intersection sizes come from one ``searchsorted`` merge per pair —
+    the smaller (sorted, unique) sketch probed into the larger:
+    O(min·log max) with tiny numpy constants.  This replaced the
+    round-5 whole-batch lexsort formulation, which sorted EVERY sketch
+    element of the batch (O(E log E), E ≈ pairs × sketch entries):
+    measured 160 µs/pair lexsort vs 13 µs/pair searchsorted on the
+    bench-shaped workload — the sort constant dominated the stage.
+    Bit-identical results: same integer counts, one float64 division
+    per pair, exactly ``sketch_overlap_py``'s arithmetic.
+    """
+    jac = np.zeros(n, dtype=np.float64)
+    con = np.zeros(n, dtype=np.float64)
+    if vals_a:
+        inter = np.zeros(n, dtype=np.int64)
+        idx_ok = np.flatnonzero(ok)
+        for j in range(len(idx_ok)):
+            ua, ub = vals_a[j], vals_b[j]
+            sm, bg = (ua, ub) if ua.size <= ub.size else (ub, ua)
+            pos = np.searchsorted(bg, sm)
+            hit = pos < bg.size
+            inter[idx_ok[j]] = np.count_nonzero(bg[pos[hit]] == sm[hit])
+        union = lens_a + lens_b - inter
+        small = np.minimum(lens_a, lens_b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(ok, inter / union, 0.0)
+            con = np.where(ok, inter / small, 0.0)
+    jac[both_empty_exact] = 1.0
+    con[both_empty_exact] = 1.0
+    return jac, con
+
+
+def _level_cut(u: np.ndarray, b: int, lvl: int) -> np.ndarray:
+    """Filter a sorted uint64 sketch from level *b* to coarser *lvl*
+    via the prefix cut (sketches are stored ascending)."""
+    if b < lvl:
+        cut = np.uint64(1) << np.uint64(64 - lvl)
+        return u[: np.searchsorted(u, cut)]
+    return u
+
+
 def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG, failure_counter=None):
     """pandas UDF (sketch_a, b_a, sketch_b, b_b) -> struct(jaccard,
     containment) via exact set arithmetic on the common sampled
-    universe.
-
-    Batch formulation: instead of one ``np.intersect1d`` call per pair
-    (interpreter-bound — the flagship's dominant Python cost), the whole
-    Arrow batch's sketches are concatenated with their pair index and
-    intersected in ONE lexsort + adjacent-duplicate count.  Per-pair
-    work is just a zero-copy ``frombuffer`` and a ``searchsorted``
-    prefix slice (sketches are stored sorted, so level-filtering is a
-    prefix cut).  Bit-identical to the per-pair ``sketch_overlap_py``
-    arithmetic — integer counts and one float64 division per pair.
+    universe (batched lexsort kernel, :func:`_score_prepared`).
 
     *failure_counter*: optional Spark accumulator — per-pair verifier
     failures are COUNTED, not just swallowed (the reference counts
@@ -69,8 +131,6 @@ def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG, failure_counter=None):
         sk_a: pd.Series, b_a: pd.Series, sk_b: pd.Series, b_b: pd.Series
     ) -> pd.DataFrame:
         n = len(sk_a)
-        jac = np.zeros(n, dtype=np.float64)
-        con = np.zeros(n, dtype=np.float64)
         lens_a = np.zeros(n, dtype=np.int64)
         lens_b = np.zeros(n, dtype=np.int64)
         ok = np.zeros(n, dtype=bool)
@@ -90,11 +150,8 @@ def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG, failure_counter=None):
                 ub = np.frombuffer(b, dtype="<i8").view(np.uint64)
                 lvl = max(ba, bb)
                 if lvl:
-                    cut = np.uint64(1) << np.uint64(64 - lvl)
-                    if ba < lvl:
-                        ua = ua[: np.searchsorted(ua, cut)]
-                    if bb < lvl:
-                        ub = ub[: np.searchsorted(ub, cut)]
+                    ua = _level_cut(ua, ba, lvl)
+                    ub = _level_cut(ub, bb, lvl)
                 if ua.size == 0 or ub.size == 0:
                     # safe default (0,0), except both-genuinely-empty
                     # docs which are identical ⇒ (1,1) — mirrors
@@ -109,26 +166,9 @@ def make_verify_udf(cfg: DedupConfig = DEFAULT_CONFIG, failure_counter=None):
                 # safe default: never merge on verifier failure
                 # (mirrors hasher.py:283-293 returning inf)
                 failures += 1
-        if vals_a:
-            idx_ok = np.flatnonzero(ok)
-            idx = np.concatenate(
-                [np.repeat(idx_ok, lens_a[idx_ok]), np.repeat(idx_ok, lens_b[idx_ok])]
-            )
-            val = np.concatenate(vals_a + vals_b)
-            order = np.lexsort((val, idx))
-            idx = idx[order]
-            val = val[order]
-            # within a pair each side is unique+sorted, so an adjacent
-            # (idx, val) duplicate is exactly one element from each side
-            dup = (idx[1:] == idx[:-1]) & (val[1:] == val[:-1])
-            inter = np.bincount(idx[:-1][dup], minlength=n)
-            union = lens_a + lens_b - inter
-            small = np.minimum(lens_a, lens_b)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                jac = np.where(ok, inter / union, 0.0)
-                con = np.where(ok, inter / small, 0.0)
-        jac[both_empty_exact] = 1.0
-        con[both_empty_exact] = 1.0
+        jac, con = _score_prepared(
+            n, ok, lens_a, lens_b, vals_a, vals_b, both_empty_exact
+        )
         if failures and failure_counter is not None:
             failure_counter.add(failures)
         return pd.DataFrame({"jaccard": jac, "containment": con})
@@ -149,15 +189,243 @@ def hamming_col(sim_a, sim_b, n_words: int):
     return out
 
 
+# pair-scoring chunk inside a tile task: bounds the lexsort temporary
+# (8192 pairs × ~2×512 entries ≈ 70 MB int64 keys) regardless of how
+# many candidate pairs one tile holds
+_TILE_PAIR_CHUNK = 8192
+
+_TILE_OUT_SCHEMA = (
+    "src long, dst long, jaccard double, containment double,"
+    " hamming int, is_edge boolean"
+)
+
+
+def _verify_pairs_tiled(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    tile_blocks: int,
+    failure_counter=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Block-tiled verify (module docstring): ship each doc's sketch
+    once per tile it participates in, score pairs tile-locally with the
+    shared batched kernel.  Output rows (src, dst, jaccard,
+    containment, hamming, is_edge) are value-identical to the classic
+    per-pair join — same float64 arithmetic, same failure contract,
+    same inner-join drop of pairs whose endpoint has no signature row.
+    """
+    nb = max(2, int(tile_blocks))
+    tau_j = float(cfg.jaccard_threshold)
+    tau_c = float(cfg.containment_threshold)
+    n_words = cfg.simhash_words
+
+    blk_s = F.pmod(F.xxhash64("src"), F.lit(nb))
+    blk_d = F.pmod(F.xxhash64("dst"), F.lit(nb))
+    # The tile-keyed pair table is consumed twice (replica derivation +
+    # the cogroup's pair side); a lazy localCheckpoint runs the
+    # candidate-generation lineage exactly ONCE and the stored rows are
+    # 32 B each — without it the whole LSH self-join + distinct chain
+    # re-executes per consumer (measured 3× at bench sf1.0).
+    pt = pairs.select(
+        F.least(blk_s, blk_d).alias("t1"),
+        F.greatest(blk_s, blk_d).alias("t2"),
+        "src",
+        "dst",
+    ).localCheckpoint(eager=False)
+    # minimal replication: exactly the distinct (doc, tile) pairs that
+    # some candidate needs — never block-wide fan-out, so replicas are
+    # bounded by 2×pairs even in the fully sparse regime
+    need = (
+        pt.select("t1", "t2", F.col("src").alias("doc_id"))
+        .unionByName(pt.select("t1", "t2", F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    sig = docs.select("doc_id", "sketch", "sketch_b", "simhash")
+    # COGROUPED map, not a unioned frame: each side keeps its own
+    # schema, so the 64-bit ids never pass through a nullable pandas
+    # column (a nulls-bearing bigint column decays to float64 and
+    # silently corrupts xxhash-range ids above 2^53)
+    repl = need.join(sig, "doc_id")
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+                "containment": pd.Series(dtype="float64"),
+                "hamming": pd.Series(dtype="Int32"),
+                "is_edge": pd.Series(dtype="bool"),
+            }
+        )
+
+    def _tile(drows: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
+        from photo_dedup_spark.functions.signatures import popcount64
+
+        if prs.empty or drows.empty:
+            return _empty_out()
+        # doc-indexed signature table: sorted-id searchsorted lookup,
+        # per-doc sketch views, (n_docs × words) simhash matrix — the
+        # per-pair work below is all vectorized numpy except the
+        # unavoidable per-pair sketch-slice gather (same cost class as
+        # the classic UDF's per-pair frombuffer loop)
+        ids_raw = drows["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        sk_raw = drows["sketch"].to_numpy()[order]
+        b_raw = drows["sketch_b"].to_numpy()[order]
+        sim_raw = drows["simhash"].to_numpy()[order]
+        m = len(ids)
+        sk_list: list = [None] * m
+        b_arr = np.full(m, -1, dtype=np.int64)  # -1 = missing sketch
+        len_arr = np.zeros(m, dtype=np.int64)
+        sim_mat = np.zeros((m, n_words), dtype=np.int64)
+        sim_ok = np.zeros(m, dtype=bool)
+        for i in range(m):
+            skb, b = sk_raw[i], b_raw[i]
+            if skb is not None and b is not None and b == b:
+                try:
+                    u = np.frombuffer(skb, dtype="<i8").view(np.uint64)
+                    sk_list[i] = u
+                    b_arr[i] = int(b)
+                    len_arr[i] = u.size
+                except Exception:
+                    # corrupt sketch bytes: every pair touching this doc
+                    # fails safely, exactly like the classic per-pair
+                    # try/except (hasher.py:283-293 inf contract) —
+                    # the simhash below still feeds hamming, as classic
+                    pass
+            sim = sim_raw[i]
+            if sim is not None:
+                sim_mat[i] = np.asarray(sim, dtype=np.int64)
+                sim_ok[i] = True
+        sim_mat_u = sim_mat.view(np.uint64)
+
+        src_all = prs["src"].to_numpy(dtype=np.int64)
+        dst_all = prs["dst"].to_numpy(dtype=np.int64)
+        out_frames = []
+        failures = 0
+
+        for s0 in range(0, len(src_all), _TILE_PAIR_CHUNK):
+            src_c = src_all[s0 : s0 + _TILE_PAIR_CHUNK]
+            dst_c = dst_all[s0 : s0 + _TILE_PAIR_CHUNK]
+            # classic path is an INNER join: a pair whose endpoint has
+            # no signature row is dropped, not failure-counted
+            pos_s = np.searchsorted(ids, src_c)
+            pos_d = np.searchsorted(ids, dst_c)
+            ok_s = (pos_s < m) & (ids[np.minimum(pos_s, m - 1)] == src_c)
+            ok_d = (pos_d < m) & (ids[np.minimum(pos_d, m - 1)] == dst_c)
+            present = ok_s & ok_d
+            src_c, dst_c = src_c[present], dst_c[present]
+            ia, ib = pos_s[present], pos_d[present]
+            n = len(src_c)
+            if n == 0:
+                continue
+            ham = np.full(n, np.nan)
+            both_sim = sim_ok[ia] & sim_ok[ib]
+            if both_sim.any():
+                ham[both_sim] = popcount64(
+                    sim_mat_u[ia[both_sim]] ^ sim_mat_u[ib[both_sim]]
+                ).sum(axis=1)
+            ba, bb = b_arr[ia], b_arr[ib]
+            fail = (ba < 0) | (bb < 0)  # missing sketch → safe (0,0)
+            failures += int(fail.sum())
+            lvl = np.maximum(ba, bb)
+            need_cut = ~fail & (lvl > 0) & ((ba < lvl) | (bb < lvl))
+            lens_a = np.where(fail, 0, len_arr[ia])
+            lens_b = np.where(fail, 0, len_arr[ib])
+            vals_a: list[np.ndarray] = []
+            vals_b: list[np.ndarray] = []
+            # per-pair cut only where a side must be filtered down
+            for i in np.flatnonzero(need_cut):
+                li = int(lvl[i])
+                ua = _level_cut(sk_list[ia[i]], int(ba[i]), li)
+                ub = _level_cut(sk_list[ib[i]], int(bb[i]), li)
+                lens_a[i], lens_b[i] = ua.size, ub.size
+            both_empty_exact = ~fail & (lvl == 0) & (lens_a == 0) & (lens_b == 0)
+            ok = ~fail & (lens_a > 0) & (lens_b > 0)
+            for i in np.flatnonzero(ok):
+                if need_cut[i]:
+                    li = int(lvl[i])
+                    vals_a.append(_level_cut(sk_list[ia[i]], int(ba[i]), li))
+                    vals_b.append(_level_cut(sk_list[ib[i]], int(bb[i]), li))
+                else:
+                    vals_a.append(sk_list[ia[i]])
+                    vals_b.append(sk_list[ib[i]])
+            jac, con = _score_prepared(
+                n, ok, lens_a, lens_b, vals_a, vals_b, both_empty_exact
+            )
+            # masked IntegerArray directly — a Python-object null column
+            # at millions of rows costs seconds of pure boxing
+            ham_vals = np.nan_to_num(ham).astype(np.int32)
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "src": src_c,
+                        "dst": dst_c,
+                        "jaccard": jac,
+                        "containment": con,
+                        "hamming": pd.arrays.IntegerArray(
+                            ham_vals, mask=np.isnan(ham)
+                        ),
+                        "is_edge": (jac >= tau_j) | (con >= tau_c),
+                    }
+                )
+            )
+        if failures and failure_counter is not None:
+            failure_counter.add(failures)
+        if not out_frames:
+            return _empty_out()
+        return pd.concat(out_frames, ignore_index=True)
+
+    # both cogroup sides descend from the same `pairs` plan — rename
+    # the right side's tile keys so the two children carry distinct
+    # attribute ids (cogroup matches keys positionally, not by name)
+    left_side = repl
+    right_side = pt.select(
+        F.col("t1").alias("u1"), F.col("t2").alias("u2"), "src", "dst"
+    )
+    if num_partitions:
+        # explicit width is immune to AQE size-based coalescing, which
+        # under-parallelizes Python-CPU-heavy stages (same rationale as
+        # operators/repsplit.py); the repartition satisfies the
+        # cogroup clustering requirement so no second exchange
+        left_side = left_side.repartition(num_partitions, "t1", "t2")
+        right_side = right_side.repartition(num_partitions, "u1", "u2")
+    return (
+        left_side.groupBy("t1", "t2")
+        .cogroup(right_side.groupBy("u1", "u2"))
+        .applyInPandas(lambda left, right: _tile(left, right), _TILE_OUT_SCHEMA)
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     failure_counter=None,
+    tile_blocks: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Join candidate pairs to per-doc (sketch, sketch_b, simhash) and
     emit verified edges: (src, dst, jaccard, containment, hamming,
-    is_edge)."""
+    is_edge).
+
+    *tile_blocks*: when set (≥ 2), use the block-tiled gather strategy
+    (module docstring) — value-identical output, O(distinct(doc, tile))
+    sketch movement instead of O(pairs).  Callers with small pair sets
+    (repsplit stitch, tests) keep the classic per-pair join default.
+    """
+    if tile_blocks is not None and tile_blocks >= 2:
+        return _verify_pairs_tiled(
+            pairs,
+            docs,
+            cfg,
+            tile_blocks,
+            failure_counter=failure_counter,
+            num_partitions=num_partitions,
+        )
     a = docs.select(
         F.col("doc_id").alias("src"),
         F.col("sketch").alias("sk_a"),

@@ -174,6 +174,23 @@ def run_pipeline(
     docs, ing_m = ingest(files, cfg, collect_metrics)
     metrics.update(ing_m)
 
+    # Input-size probe drives three plan-shape decisions below: the
+    # broadcast-reps hint, the pair-stage width cap, and the verify
+    # tile count.  Probed once.
+    in_bytes = _input_bytes(files)
+
+    # Widen small/unsplittable scans (cfg.widen_small_scan_bytes): the
+    # driver testdata is a SINGLE-row-group parquet file, so the scan
+    # yields one real partition and the keys pass + signature pandas
+    # UDF would run on one core out of 32 (measured: the signature
+    # stage alone was 16-18 s at bench sf1.0; widened it is ~1.5 s).
+    # The round-robin exchange moves ≤ the cap's content bytes — noise.
+    # Large corpora skip this: their scans are already wide and the
+    # exchange would move the full corpus content for nothing.
+    shuffle_conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if in_bytes is not None and in_bytes <= cfg.widen_small_scan_bytes:
+        docs = docs.repartition(shuffle_conf_n)
+
     # --- stage 1: exact + normalized keys (pure built-ins, codegen'd),
     # plus the group representative: min (repo, path) member per
     # normalized key — the reference's group[0] after sort
@@ -233,7 +250,6 @@ def run_pipeline(
     # (measured 2-vs-8-core, BENCH/SCALING.md).  Past the cap — real
     # cluster corpora — the hint is withheld and this degrades to a
     # shuffle join on doc_id: still exactly one normalize pass.
-    in_bytes = _input_bytes(files)
     hint_broadcast = (
         in_bytes is not None and in_bytes <= cfg.broadcast_reps_max_input_bytes
     )
@@ -293,7 +309,7 @@ def run_pipeline(
         banded = lsh.explode_bands(signed, cfg).unionByName(
             lsh.explode_simhash_chunks(signed, cfg)
         )
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        shuffle_n = shuffle_conf_n
         # The explicit numPartitions below is immune to AQE coalescing
         # (that is its purpose at bench scale: AQE's size-based rule
         # squeezed the Python-CPU-heavy stages into too few tasks).  The
@@ -318,9 +334,35 @@ def run_pipeline(
             metrics["candidate_pairs"] = pairs.count()
 
         # --- stage 4: verify (failures counted via accumulator — the
-        # reference's count-and-drop progress telemetry, A5)
+        # reference's count-and-drop progress telemetry, A5).
+        # Block-tiled strategy (operators/verify.py): sketch bytes move
+        # O(distinct(doc, tile)) instead of O(pairs) — at bench sf1.0
+        # the classic per-pair join shuffled ~18 GB of sketches through
+        # two exchanges (the flagship's dominant cost); tiles cut that
+        # 13×.  nb scales with input size so per-tile payload stays
+        # bounded; unknown-size inputs keep the classic join.
         fail_acc = spark.sparkContext.accumulator(0) if collect_metrics else None
-        verified = verify_pairs(pairs, signed, cfg, failure_counter=fail_acc)
+        tile_blocks = None
+        if in_bytes is not None:
+            tile_blocks = min(
+                cfg.verify_tile_max_blocks,
+                max(
+                    cfg.verify_tile_min_blocks,
+                    in_bytes // cfg.verify_tile_block_bytes,
+                ),
+            )
+        # NOTE: the tile stage gets the FULL shuffle width, not the
+        # narrow-input cap — it is Python-CPU-heavy (per-pair sketch
+        # merges), so more, smaller groups balance the task waves
+        # (measured at sf1.0: 32-wide 19.5 s vs 128-wide 11.8 s)
+        verified = verify_pairs(
+            pairs,
+            signed,
+            cfg,
+            failure_counter=fail_acc,
+            tile_blocks=tile_blocks,
+            num_partitions=shuffle_conf_n,
+        )
         near_edges = verified.where(F.col("is_edge")).select("src", "dst")
         near_edges = near_edges.localCheckpoint(eager=_eager)
         _mark("candidates+verify")
@@ -344,7 +386,9 @@ def run_pipeline(
         # (scanner.py:382-395) — precision semantics; subsumes the
         # hybrid group-merge (J6): exact groups linked through reps by
         # a verified pair land in one subgroup
-        splits = rep_verify_split(comp_labels, signed, cfg, metrics=metrics)
+        splits = rep_verify_split(
+            comp_labels, signed, cfg, metrics=metrics, num_partitions=shuffle_n
+        )
         if collect_metrics:
             metrics["split_oversized_components"] = oversized_component_count(
                 comp_labels, cfg
