@@ -1243,18 +1243,26 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast join + agg + deterministic top-k."""
+    """Aggregate-then-join + deterministic top-k.
+
+    Orders are fully aggregated per ``o_custkey`` BEFORE the customer
+    join (guide §2.3 "aggregate before you shuffle"): the exchange
+    carries one row per customer key instead of every order row carrying
+    ``c_name``, and the broadcast join then attaches names to the
+    aggregated rows only.  Identical result — ``c_custkey`` is the
+    customer table's key, so grouping by (c_custkey, c_name) after an
+    inner join equals grouping orders by o_custkey and joining."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = o.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_spent_cents"),
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("*").alias("order_count"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-            .cast("long")
-            .alias("total_spent_cents"),
-        )
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "order_count", "total_spent_cents")
         .orderBy(F.desc("total_spent_cents"), F.asc("c_custkey"))
         .limit(25)
     )
@@ -1697,7 +1705,11 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 50)
-    out = cosine_topk_bruteforce(emb, queries, k=3)
+    # the testdata ships embeddings as a single parquet row group — an
+    # unsplittable 1-task scan — so spread the corpus across the cores
+    # before the per-batch matmul (a few MB round-robin exchange)
+    corpus = emb.repartition(spark.sparkContext.defaultParallelism)
+    out = cosine_topk_bruteforce(corpus, queries, k=3)
     return out.select("query_id", "rank", "match_id")
 
 

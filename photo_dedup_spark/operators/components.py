@@ -301,6 +301,7 @@ def _driver_union_find(nodes: DataFrame, epd) -> tuple[DataFrame, dict]:
             "cc_changed_per_iter": [],
             "cc_mode": "driver-union-find",
             "cc_driver_edges": 0,
+            "cc_max_component": 1,
         }
 
     src = epd["src"].to_numpy(dtype=np.int64)
@@ -338,9 +339,15 @@ def _driver_union_find(nodes: DataFrame, epd) -> tuple[DataFrame, dict]:
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
     )
+    # component census is free here (labels are on the driver): the
+    # split stage uses cc_max_component to skip its sizes-join and the
+    # oversized-probe job outright when no component exceeds its cap
+    _, comp_counts = np.unique(lab, return_counts=True)
     return labels, {
         "cc_iterations": len(history),
         "cc_changed_per_iter": history,
         "cc_mode": "driver-union-find",
         "cc_driver_edges": n_edges,
+        "cc_nodes": int(len(ids)),
+        "cc_max_component": int(comp_counts.max()),
     }

@@ -94,6 +94,8 @@ def rep_verify_split(
     cfg: DedupConfig = DEFAULT_CONFIG,
     metrics: dict | None = None,
     num_partitions: int | None = None,
+    max_component: int | None = None,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """(rep doc_id, component id) × (rep doc_id, repo, path, sketch,
     sketch_b, simhash) → (doc_id, cluster_id) with cluster_id = the
@@ -101,41 +103,63 @@ def rep_verify_split(
 
     *comp_labels*: (doc_id, cluster_id) from connected components over
     verified near edges (reps only).  *reps*: per-rep signature rows.
+
+    *max_component*: the largest component size when the caller already
+    knows it (the driver union-find census) — when it is at or under
+    ``cfg.split_max_component`` every bucket is 0 by definition, so the
+    sizes aggregation + join, the oversized probe job and the stitch
+    are all skipped, identically to what they would have computed.
+    *broadcast_labels*: hint that *comp_labels* is provably small
+    (driver-resolved component graphs) — the members join then streams
+    the signature table instead of shuffling it.
     """
     tau_j = cfg.jaccard_threshold
     tau_c = cfg.containment_threshold
     cap = cfg.split_max_component
     target = cfg.split_bucket_target
+    no_oversized = max_component is not None and max_component <= cap
 
-    sizes = comp_labels.groupBy("cluster_id").agg(F.count("*").alias("comp_n"))
-    members = (
-        comp_labels.select("doc_id", F.col("cluster_id").alias("comp_id"))
-        .join(
-            reps.select("doc_id", "repo", "path", "sketch", "sketch_b", "simhash"),
-            "doc_id",
+    labels_side = comp_labels.select(
+        "doc_id", F.col("cluster_id").alias("comp_id")
+    )
+    if broadcast_labels:
+        labels_side = F.broadcast(labels_side)
+    members = labels_side.join(
+        reps.select("doc_id", "repo", "path", "sketch", "sketch_b", "simhash"),
+        "doc_id",
+    )
+    if no_oversized:
+        members = members.withColumn("bucket", F.lit(0).cast("long"))
+    else:
+        sizes = comp_labels.groupBy("cluster_id").agg(
+            F.count("*").alias("comp_n")
         )
-        .join(sizes.select(F.col("cluster_id").alias("comp_id"), "comp_n"), "comp_id")
-    )
-    # SimHash-prefix bucket for oversized components; 0 (single bucket,
-    # exact oracle-order greedy) for everything under the cap
-    members = members.withColumn(
-        "_split_bits",
-        F.least(
-            F.lit(16),
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.log2(F.col("comp_n") / F.lit(float(target)))).cast("int"),
+        members = members.join(
+            sizes.select(F.col("cluster_id").alias("comp_id"), "comp_n"),
+            "comp_id",
+        )
+        # SimHash-prefix bucket for oversized components; 0 (single
+        # bucket, exact oracle-order greedy) for everything under cap
+        members = members.withColumn(
+            "_split_bits",
+            F.least(
+                F.lit(16),
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(
+                        F.log2(F.col("comp_n") / F.lit(float(target)))
+                    ).cast("int"),
+                ),
             ),
-        ),
-    ).withColumn(
-        "bucket",
-        F.when(F.col("comp_n") <= F.lit(cap), F.lit(0).cast("long")).otherwise(
-            F.expr(
-                "shiftrightunsigned(coalesce(simhash[0], CAST(0 AS BIGINT)),"
-                " 64 - _split_bits)"
-            )
-        ),
-    )
+        ).withColumn(
+            "bucket",
+            F.when(F.col("comp_n") <= F.lit(cap), F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "shiftrightunsigned(coalesce(simhash[0], CAST(0 AS BIGINT)),"
+                    " 64 - _split_bits)"
+                )
+            ),
+        )
 
     def _split(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > cap:
@@ -258,7 +282,9 @@ def rep_verify_split(
         .groupBy("comp_id", "bucket")
         .applyInPandas(_split, _SPLIT_SCHEMA)
     )
-    if not cfg.split_stitch:
+    if not cfg.split_stitch or no_oversized:
+        # max_component already proves no bucket routing happened —
+        # the probe job below would find nothing
         return splits
     # cheap probe on the (small, rep-graph-sized) component census: the
     # common case — no oversized component — adds exactly one tiny job

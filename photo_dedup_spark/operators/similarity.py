@@ -42,23 +42,80 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k: queries × corpus cross join (broadcast the query
-    side — it is the small side by construction), cosine via built-ins,
-    window rank.  Baseline for recall measurement of the LSH variant."""
-    q = queries.select(
+    """Exact top-k: one matmul of each corpus batch against the
+    broadcast query matrix, per-batch top-k pruning, global rank.
+    Baseline for recall measurement of the LSH variant.
+
+    Round-6 physical rework, identical results: the former
+    crossJoin(broadcast(queries)) materialized nq × corpus rows and
+    pushed BOTH vectors of every pair through the Python boundary
+    (at bench sf1.0: 1M rows × 2×512 B ≈ 1 GB of Arrow for 150 output
+    rows).  Now the corpus never joins or multiplies: each Arrow batch
+    is scored against all queries with one float64 GEMM, only the
+    batch-local top-k per query survives (provably a superset of the
+    global top-k under the same total order: cosine desc, id asc), and
+    a window over nq × k × n_batches candidate rows picks the final
+    ranks.  The query side is collected + broadcast — same smallness
+    contract the broadcast cross join already relied on."""
+    spark = embeddings.sparkSession
+    qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    ).collect()
+    out_schema = "query_id long, match_id long, cosine double"
     c = embeddings.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", _cosine_udf(F.col("qvec"), F.col("cvec")))
-    )
+    if not qrows:
+        cand = spark.createDataFrame([], out_schema)
+        return cand.withColumn("rank", F.lit(1)).where(F.lit(False)).select(
+            "query_id", "match_id", "cosine", "rank"
+        )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.array([np.asarray(r.qvec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qm, qn))
+    kk = int(k)
+
+    def _topk(batches):
+        qids_, qm_, qn_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mids = pdf["match_id"].to_numpy(dtype=np.int64)
+            cm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            num = cm @ qm_.T  # (batch, nq)
+            den = np.linalg.norm(cm, axis=1)[:, None] * qn_[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, num / den, 0.0)
+            out_q, out_m, out_c = [], [], []
+            for j in range(len(qids_)):
+                mask = mids != qids_[j]  # self-hit excluded
+                mi, ci = mids[mask], cos[mask, j]
+                if mi.size == 0:
+                    continue
+                # same total order as the final window: cosine desc,
+                # then match_id asc — any row dropped here is strictly
+                # below k batch-local rows in that order, so it cannot
+                # be in the global top-k
+                order = np.lexsort((mi, -ci))[:kk]
+                out_q.append(np.full(order.size, qids_[j], dtype=np.int64))
+                out_m.append(mi[order])
+                out_c.append(ci[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "match_id": np.concatenate(out_m),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    cand = c.mapInPandas(_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cosine", "rank")
     )

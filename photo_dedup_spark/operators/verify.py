@@ -207,6 +207,7 @@ def _verify_pairs_tiled(
     tile_blocks: int,
     failure_counter=None,
     num_partitions: int | None = None,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Block-tiled verify (module docstring): ship each doc's sketch
     once per tile it participates in, score pairs tile-locally with the
@@ -304,6 +305,13 @@ def _verify_pairs_tiled(
 
         src_all = prs["src"].to_numpy(dtype=np.int64)
         dst_all = prs["dst"].to_numpy(dtype=np.int64)
+        if dedup_pairs and len(src_all):
+            # a pair lives in exactly one tile, so tile-local dedup is
+            # global dedup — lets the caller skip the distinct() shuffle
+            # over the whole pair table
+            both = np.stack([src_all, dst_all], axis=1)
+            both = np.unique(both, axis=0)
+            src_all, dst_all = both[:, 0], both[:, 1]
         out_frames = []
         failures = 0
 
@@ -407,6 +415,7 @@ def verify_pairs(
     failure_counter=None,
     tile_blocks: int | None = None,
     num_partitions: int | None = None,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Join candidate pairs to per-doc (sketch, sketch_b, simhash) and
     emit verified edges: (src, dst, jaccard, containment, hamming,
@@ -416,6 +425,8 @@ def verify_pairs(
     (module docstring) — value-identical output, O(distinct(doc, tile))
     sketch movement instead of O(pairs).  Callers with small pair sets
     (repsplit stitch, tests) keep the classic per-pair join default.
+    *dedup_pairs* (tiled only): dedup (src, dst) inside each tile —
+    output equals feeding ``pairs.distinct()``, minus the dedup shuffle.
     """
     if tile_blocks is not None and tile_blocks >= 2:
         return _verify_pairs_tiled(
@@ -425,6 +436,7 @@ def verify_pairs(
             tile_blocks,
             failure_counter=failure_counter,
             num_partitions=num_partitions,
+            dedup_pairs=dedup_pairs,
         )
     a = docs.select(
         F.col("doc_id").alias("src"),

@@ -261,9 +261,12 @@ def run_pipeline(
         if hint_broadcast
         else reps_lite.select("norm_key", F.col("doc_id").alias("rep_id"))
     )
-    rep_map = keyed_lite.select("doc_id", "norm_key").join(
-        rep_side, "norm_key"
-    ).select("doc_id", "rep_id")
+    # member rows with their rep attached — the single source for both
+    # the label table and the final member projection (stage 6), so the
+    # old keyed_lite ⋈ labels self-join (two exchanges + sorts of the
+    # full doc table for rows that both descend from keyed_lite) is
+    # gone: one rep attach, reused
+    member_base = keyed_lite.join(rep_side, "norm_key")
     _mark("keys")
 
     if mode in ("hybrid", "similar"):
@@ -323,7 +326,21 @@ def run_pipeline(
         # the exact current behavior.
         if in_bytes is not None and in_bytes < cfg.narrow_pairs_max_input_bytes:
             shuffle_n = min(shuffle_n, 32)
-        pairs, bucket_stats = lsh.candidate_pairs(banded, cfg, num_partitions=shuffle_n)
+        # the tiled verifier (below) dedups pairs inside each tile, so
+        # the pair table skips its distinct() shuffle entirely; the
+        # classic fallback (unknown input size) needs it
+        tile_blocks = None
+        if in_bytes is not None:
+            tile_blocks = min(
+                cfg.verify_tile_max_blocks,
+                max(
+                    cfg.verify_tile_min_blocks,
+                    in_bytes // cfg.verify_tile_block_bytes,
+                ),
+            )
+        pairs, bucket_stats = lsh.candidate_pairs(
+            banded, cfg, num_partitions=shuffle_n, distinct=tile_blocks is None
+        )
         if collect_metrics:
             metrics["lsh_bucket_routes"] = {
                 r["route"]: r["n"]
@@ -331,7 +348,9 @@ def run_pipeline(
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
-            metrics["candidate_pairs"] = pairs.count()
+            metrics["candidate_pairs"] = (
+                pairs.count() if tile_blocks is None else pairs.distinct().count()
+            )
 
         # --- stage 4: verify (failures counted via accumulator — the
         # reference's count-and-drop progress telemetry, A5).
@@ -342,15 +361,6 @@ def run_pipeline(
         # 13×.  nb scales with input size so per-tile payload stays
         # bounded; unknown-size inputs keep the classic join.
         fail_acc = spark.sparkContext.accumulator(0) if collect_metrics else None
-        tile_blocks = None
-        if in_bytes is not None:
-            tile_blocks = min(
-                cfg.verify_tile_max_blocks,
-                max(
-                    cfg.verify_tile_min_blocks,
-                    in_bytes // cfg.verify_tile_block_bytes,
-                ),
-            )
         # NOTE: the tile stage gets the FULL shuffle width, not the
         # narrow-input cap — it is Python-CPU-heavy (per-pair sketch
         # merges), so more, smaller groups balance the task waves
@@ -362,6 +372,7 @@ def run_pipeline(
             failure_counter=fail_acc,
             tile_blocks=tile_blocks,
             num_partitions=shuffle_conf_n,
+            dedup_pairs=tile_blocks is not None,
         )
         near_edges = verified.where(F.col("is_edge")).select("src", "dst")
         near_edges = near_edges.localCheckpoint(eager=_eager)
@@ -386,55 +397,63 @@ def run_pipeline(
         # (scanner.py:382-395) — precision semantics; subsumes the
         # hybrid group-merge (J6): exact groups linked through reps by
         # a verified pair land in one subgroup
+        # Driver-resolved CC graphs come with a free component census:
+        # max_component lets the split skip its sizes join + oversized
+        # probe job, and a provably small label table upgrades the
+        # members join and the sub-label attach to broadcast joins (no
+        # shuffle of the signature or doc tables).  Distributed-CC
+        # graphs (above cc_driver_max_edges) keep the general plan.
+        cc_small = (
+            cc_m.get("cc_mode") == "driver-union-find"
+            and cc_m.get("cc_driver_edges", 0) <= cfg.cc_driver_max_edges
+        )
         splits = rep_verify_split(
-            comp_labels, signed, cfg, metrics=metrics, num_partitions=shuffle_n
+            comp_labels,
+            signed,
+            cfg,
+            metrics=metrics,
+            num_partitions=shuffle_n,
+            max_component=cc_m.get("cc_max_component") if cc_small else None,
+            broadcast_labels=cc_small,
         )
         if collect_metrics:
             metrics["split_oversized_components"] = oversized_component_count(
                 comp_labels, cfg
             )
-        labels = (
-            rep_map.join(
-                splits.select(
-                    F.col("doc_id").alias("rep_id"),
-                    F.col("cluster_id").alias("sub_label"),
-                ),
-                "rep_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.coalesce(F.col("sub_label"), F.col("rep_id")).alias("cluster_id"),
-            )
+        sub_side = splits.select(
+            F.col("doc_id").alias("rep_id"),
+            F.col("cluster_id").alias("sub_label"),
+        )
+        if cc_small:
+            # splits rows ≤ CC nodes ≤ 2×cc_driver_edges — bounded small
+            sub_side = F.broadcast(sub_side)
+        labeled = member_base.join(sub_side, "rep_id", "left").withColumn(
+            "cluster_id",
+            F.coalesce(F.col("sub_label"), F.col("rep_id")),
         )
         _mark("split")
         edges = near_edges
     else:
         # exact mode: clusters ARE the normalized-key groups — the
         # rep mapping is already the cluster label (no CC, no joins)
-        labels = rep_map.select("doc_id", F.col("rep_id").alias("cluster_id"))
+        labeled = member_base.withColumn("cluster_id", F.col("rep_id"))
         edges = None
 
     # --- stage 5.75: strict re-split (J7) — composite (cluster, raw sha)
     # key, then re-canonicalize to min doc_id per subgroup so the label
-    # domain stays LongType
+    # domain stays LongType (member_base already carries exact_key)
     if strict_verify:
-        relabeled = (
-            keyed_lite.select("doc_id", "exact_key")
-            .join(labels, "doc_id")
-            .withColumn(
-                "strict_min",
-                F.min("doc_id").over(
-                    Window.partitionBy("cluster_id", "exact_key")
-                ),
-            )
-            .select("doc_id", F.col("strict_min").alias("cluster_id"))
+        labeled = labeled.withColumn(
+            "cluster_id",
+            F.min("doc_id").over(Window.partitionBy("cluster_id", "exact_key")),
         )
-        labels = relabeled
 
-    # --- stage 6: keep-selection over members
-    members = keyed_lite.select("doc_id", "repo", "path", "lang", "n_chars").join(
-        labels, "doc_id"
+    labels = labeled.select("doc_id", "cluster_id")
+
+    # --- stage 6: keep-selection over members (a projection of the
+    # labeled member rows — no re-join against the doc table)
+    members = labeled.select(
+        "doc_id", "repo", "path", "lang", "n_chars", "cluster_id"
     )
     selected = keep_selection(members)
     if collect_metrics:
