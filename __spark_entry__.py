@@ -46,6 +46,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Round-robin widen ahead of per-row-heavy stages: the sf parquet
+    tables ship as a SINGLE row group, so their scans cannot exceed one
+    task no matter the split planning — a pandas-UDF or regex pass
+    downstream would run on 1 of 32 cores (guide §2.5 input skew).
+    The exchange moves only the few-MB table; identical rows, and only
+    applied in queries whose downstream work dwarfs it."""
+    spark = df.sparkSession
+    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table reshaped to the (repo,path,commit,lang,content)
     input_hint contract."""
@@ -125,7 +136,7 @@ GROUP BY 1 HAVING COUNT(*) > 1
 
 def q_normalized_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3/H4: raw vs normalized key per row — the pixel-hash analog."""
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _wide(_docs(spark, sf_dir).where(F.col("text").isNotNull()))
     return d.select(
         "doc_id",
         exact_key_col(F.col("text")).alias("exact_key"),
@@ -432,7 +443,7 @@ SQL_QUALITY_COUNTS = (
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _wide(_docs(spark, sf_dir).where(F.col("text").isNotNull()))
     hits = ts.lang_id_cols(F.col("text"))
     out = d.select("doc_id", *hits)
     return out.withColumn(
@@ -484,7 +495,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     min (degrade-don't-drop).  Output is distinct
     (doc_id, fp_hash, fp_pos) — 1-based gram position."""
     w = _WINNOW_W
-    d = _docs(spark, sf_dir).where(
+    d = _wide(_docs(spark, sf_dir)).where(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
     )
     toks = d.select(
@@ -583,6 +594,70 @@ FROM documents WHERE text IS NOT NULL
 # (source, gram) can never produce more than _NGRAM_DF_CAP² rows, so no
 # boilerplate gram turns the inverted index into a cartesian bomb
 _NGRAM_DF_CAP = 1000
+
+
+def _df_capped(
+    grams: DataFrame, block_cols: list[str], cap: int, keep_df: bool = False
+) -> DataFrame:
+    """Drop rows of blocks larger than *cap* via one window count —
+    identical to the census-groupBy + left_anti form, one exchange of
+    the (string-keyed) gram table instead of two.  *keep_df* retains
+    the block count as ``df`` (prefix-ordering input)."""
+    w = Window.partitionBy(*block_cols)
+    out = grams.withColumn("df", F.count("*").over(w)).where(F.col("df") <= cap)
+    return out if keep_df else out.drop("df")
+
+
+def _gram_pair_overlaps(cand: DataFrame, kept: DataFrame) -> DataFrame:
+    """Exact shared-gram counts for candidate (src, dst) pairs.
+
+    Dictionary-encodes the vocabulary (dense rank over the sorted
+    distinct grams — deterministic; the distinct-vocab sort is tiny
+    relative to the index), builds one sorted gram-id array per doc,
+    and counts intersections with the tiled searchsorted engine
+    (operators/verify.py pair_overlap_counts).  Gram ids are bijective
+    with grams, so counts equal the string-join's exactly; candidate
+    duplicates are deduped tile-locally (the callers drop their
+    distinct())."""
+    from photo_dedup_spark.operators.verify import pair_overlap_counts
+
+    spark = cand.sparkSession
+    vocab = (
+        kept.select("gram")
+        .distinct()
+        .select("gram", F.row_number().over(Window.orderBy("gram")).alias("gid"))
+    )
+    doc_sets = (
+        kept.join(vocab, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.col("gid").cast("long"))).alias("ids"))
+    )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return pair_overlap_counts(
+        cand, doc_sets, tile_blocks=16, num_partitions=p, dedup_pairs=True
+    )
+
+
+def _bucket_pair_counts(kept: DataFrame, block_cols: list[str]) -> DataFrame:
+    """(src, dst, inter_cnt): co-occurrence counts of doc pairs over the
+    df-capped inverted index.  Pairs expand INLINE per block from the
+    sorted member list (two nested generators, per-row state ≤ cap
+    members) instead of a string-keyed self-join — everything after the
+    block grouping moves integer pairs only; identical pair/count
+    semantics to ``a JOIN b ON keys AND a.doc_id < b.doc_id``."""
+    buckets = kept.groupBy(*block_cols).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    pairs = (
+        buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "src"))
+        .select(
+            "src",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+            ).alias("dst"),
+        )
+    )
+    return pairs.groupBy("src", "dst").agg(F.count("*").alias("inter_cnt"))
 # secondary cap for substring-containment rescue grams (each doc's
 # lowest-df gram stays indexed up to this df — see q_substring_pairs)
 _RESCUE_DF_CAP = 20_000
@@ -622,27 +697,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    hot = (
-        grams.groupBy("source", "gram")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > _NGRAM_DF_CAP)
-        .select("source", "gram")
-    )
-    kept = grams.join(hot, ["source", "gram"], "left_anti")
+    # Round-6 physical rework, identical rows: the df cap comes from ONE
+    # window count over the gram index (replacing census-groupBy +
+    # left_anti, which shuffled the string-keyed gram table twice), and
+    # per-bucket pairs expand INLINE from the sorted member list —
+    # bounded by the df cap — instead of a string-keyed self-join, so
+    # everything after the single gram exchange moves integers only.
+    kept = _df_capped(grams, ["source", "gram"], _NGRAM_DF_CAP)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = kept.alias("a"), kept.alias("b")
-    inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.source") == F.col("b.source"),
-                F.col("a.gram") == F.col("b.gram"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count("*").alias("inter_cnt"))
-    )
+    inter = _bucket_pair_counts(kept, ["source", "gram"])
     sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
     return (
@@ -714,26 +777,44 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    hot = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") > _NGRAM_DF_CAP)
-        .select("gram")
-    )
-    kept = grams.join(hot, "gram", "left_anti")
+    # Round-6 rework, identical rows.  The old form expanded EVERY
+    # co-occurring pair (Σ C(df,2) over buckets — 275 s at bench sf1.0
+    # via the string self-join, still ~70 s with inline expansion) even
+    # though the final filter keeps only containment ≥ 0.9.  Prefix
+    # filtering makes candidates provably complete for the output: if
+    # C(s,·) ≥ 0.9 then at least one of s's first
+    # k = sz − ⌈0.9·sz⌉ + 1 grams (fixed global (df, gram) order) is
+    # shared — fewer than k missing grams would leave inter < 0.9·sz.
+    # So candidates = every doc's k-prefix joined against the full
+    # index, and exact intersections come from the tiled searchsorted
+    # counter; pairs sharing a gram but below the threshold were
+    # dropped by the final WHERE anyway.
+    kept_df = _df_capped(grams, ["gram"], _NGRAM_DF_CAP, keep_df=True)
+    kept = kept_df.drop("df")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = kept.alias("a"), kept.alias("b")
-    inter = (
-        a.join(
-            b,
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "gram")
+    wsz = Window.partitionBy("doc_id")
+    prefix = (
+        kept_df.withColumn("rk", F.row_number().over(wdoc))
+        .withColumn("sz", F.count("*").over(wsz))
+        .where(F.col("rk") <= F.col("sz") - F.expr("(sz * 9 + 9) div 10") + 1)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            kept.alias("b"),
             on=[
                 F.col("a.gram") == F.col("b.gram"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
             ],
         )
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count("*").alias("inter_cnt"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("src"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dst"),
+        )
     )
+    inter = _gram_pair_overlaps(cand, kept).where(F.col("inter_cnt") >= 1)
     sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
     small = F.least(F.col("sz_a"), F.col("sz_b"))
@@ -825,11 +906,21 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = grams.join(dfc, "gram").where(F.col("df") <= _NGRAM_DF_CAP)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    # Round-6 rework, identical rows: (a) the prefix self-join carries
+    # each side's set size and applies PPJoin's LENGTH filter in the
+    # join (J ≥ τ ⇒ 10·min(sz) ≥ 7·max(sz), a theorem of J ≤ min/max —
+    # integer-exact, so no output pair can be lost); (b) exact
+    # intersections come from the tiled searchsorted counter over
+    # per-doc sorted gram-id arrays (operators/verify.py
+    # pair_overlap_counts) instead of re-joining every candidate
+    # against the full string-keyed gram index — that attach
+    # materialized Σ cand × |set| rows and was 210 s of the query's
+    # 280 s at bench sf1.0.
     prefix = (
         kept.withColumn("rk", F.row_number().over(w))
         .join(sizes, "doc_id")
         .where(F.col("rk") <= F.col("sz") - F.ceil(F.col("sz") * 7 / F.lit(10.0)) + 1)
-        .select("doc_id", "gram")
+        .select("doc_id", "gram", "sz")
     )
     cand = (
         prefix.alias("a")
@@ -838,17 +929,13 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             on=[
                 F.col("a.gram") == F.col("b.gram"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
+                F.least(F.col("a.sz"), F.col("b.sz")) * 10
+                >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 7,
             ],
         )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
     )
-    ka = kept.select(F.col("doc_id").alias("src"), "gram")
-    kb = kept.select(F.col("doc_id").alias("dst"), "gram")
-    inter = (
-        cand.join(ka, "src").join(kb, ["dst", "gram"]).groupBy("src", "dst")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
+    inter = _gram_pair_overlaps(cand, kept).where(F.col("inter_cnt") >= 1)
     sa = sizes.select(F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("dst"), F.col("sz").alias("sz_b"))
     union_cnt = F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt")
@@ -999,21 +1086,60 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("df") <= _NGRAM_DF_CAP)
             | (F.col("_rescued").isNotNull() & (F.col("df") <= _RESCUE_DF_CAP))
         )
+        .select("doc_id", "gram", "df")
+    )
+    # Round-6 rework, identical output: candidates come from each doc's
+    # THREE rarest kept grams (min (df, gram), deterministic) probed
+    # into the index, not the full index self-join (Σ C(df,2) pair
+    # explosion — the old candidate stage dominated the query's 97 s at
+    # bench sf1.0).  Completeness for true pairs: s ⊂ b implies every
+    # INTERIOR gram of s is a gram of b (only s's two boundary grams
+    # can fuse with b's surrounding tokens), at most two distinct gram
+    # strings of s occur exclusively at its boundaries, so among s's 3
+    # rarest distinct kept grams at least one is interior (docs with
+    # < 3 kept grams probe with all of them); kept-ness is a gram-level
+    # (global df / rescue) condition, so a gram kept for s is kept for
+    # b too.  Pairs the wide join proposed beyond these are non-pairs
+    # the exact ``instr``/suffix-array verification rejected anyway —
+    # the verified output is unchanged.
+    wp = Window.partitionBy("doc_id").orderBy("df", "gram")
+    probes = (
+        kept.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") <= 3)
         .select("doc_id", "gram")
     )
     lens = aug.select("doc_id", F.length("text").alias("n"))
-    ga = kept.select(F.col("doc_id").alias("small_id"), "gram")
-    gb = kept.select(F.col("doc_id").alias("big_id"), "gram")
-    la = lens.select(F.col("doc_id").alias("small_id"), F.col("n").alias("small_len"))
-    lb = lens.select(F.col("doc_id").alias("big_id"), F.col("n").alias("big_len"))
-    cand = (
-        ga.join(gb, "gram")
-        .where(F.col("small_id") != F.col("big_id"))
-        .select("small_id", "big_id")
+    cand0 = (
+        probes.alias("a")
+        .join(
+            kept.alias("b"),
+            on=[
+                F.col("a.gram") == F.col("b.gram"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("p1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("p2"),
+        )
         .distinct()
-        .join(la, "small_id")
-        .join(lb, "big_id")
-        .where(F.col("small_len") < F.col("big_len"))
+    )
+    l1 = lens.select(F.col("doc_id").alias("p1"), F.col("n").alias("n1"))
+    l2 = lens.select(F.col("doc_id").alias("p2"), F.col("n").alias("n2"))
+    cand = (
+        cand0.join(l1, "p1")
+        .join(l2, "p2")
+        .where(F.col("n1") != F.col("n2"))
+        .select(
+            F.when(F.col("n1") < F.col("n2"), F.col("p1"))
+            .otherwise(F.col("p2"))
+            .alias("small_id"),
+            F.when(F.col("n1") < F.col("n2"), F.col("p2"))
+            .otherwise(F.col("p1"))
+            .alias("big_id"),
+            F.least(F.col("n1"), F.col("n2")).alias("small_len"),
+            F.greatest(F.col("n1"), F.col("n2")).alias("big_len"),
+        )
     )
     ta = aug.select(F.col("doc_id").alias("small_id"), F.col("text").alias("text_a"))
     tb = aug.select(F.col("doc_id").alias("big_id"), F.col("text").alias("text_b"))
@@ -1596,7 +1722,7 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         secret_scan_cols,
     )
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _wide(_docs(spark, sf_dir).where(F.col("text").isNotNull()))
     did = F.col("doc_id")
     planted = F.concat(
         F.col("text"),
@@ -1744,7 +1870,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-pass struct UDF (VERDICT r3 #6): one shingling and ONE
     # Arrow transfer of normalized content, matching q_lsh_candidates
     sign_udf = make_minhash_simhash_udf(ENTRY_CONFIG)
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _wide(_docs(spark, sf_dir).where(F.col("text").isNotNull()))
     sigs = d.select(
         "doc_id", sign_udf(normalize_col(F.col("text"))).alias("sig")
     ).select(
@@ -1775,10 +1901,14 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-pass struct UDF (the pipeline's path): one shingling and
     # ONE Arrow content transfer, vs the deprecated 3-UDF shim's three
     sign_udf = make_signature_struct_udf(ENTRY_CONFIG)
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    d = _wide(_docs(spark, sf_dir).where(F.col("text").isNotNull()))
+    # checkpoint the signature output (as the pipeline does): the
+    # candidate engine's branches must not re-run the pandas UDF
     signed = d.select(
         "doc_id", sign_udf(normalize_col(F.col("text"))).alias("sig")
-    ).select("doc_id", F.col("sig.band_hashes").alias("band_hashes"))
+    ).select("doc_id", F.col("sig.band_hashes").alias("band_hashes")).localCheckpoint(
+        eager=False
+    )
     pairs, _stats = lsh.candidate_pairs(lsh.explode_bands(signed, ENTRY_CONFIG), ENTRY_CONFIG)
     return pairs
 
@@ -2107,7 +2237,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_dedup_spark.functions.dates import parse_datetime_multi
     from photo_dedup_spark.functions.multimodal import decode_image_features
 
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _wide(_docs(spark, sf_dir).select("doc_id"))
 
     def _png_gray(gray: "np.ndarray") -> bytes:
         h, w = gray.shape
@@ -2268,7 +2398,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from photo_dedup_spark.functions.multimodal import decode_audio_features
 
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _wide(_docs(spark, sf_dir).select("doc_id"))
 
     def _wav(sig: "np.ndarray") -> bytes:
         pcm = sig.astype("<i2").tobytes()
@@ -2326,7 +2456,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from photo_dedup_spark.functions.multimodal import decode_video_frames
 
-    d = _docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 17 == 0)
+    d = _wide(_docs(spark, sf_dir).select("doc_id").where(F.col("doc_id") % 17 == 0))
 
     def _avi(frames: list) -> bytes:
         def chunk(cid: bytes, body: bytes) -> bytes:
@@ -2376,7 +2506,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from photo_dedup_spark.operators.similarity import cosine_topk_srp
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _wide(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk_srp(emb, k=3, n_bits=6, n_tables=4)
 
 
@@ -2393,7 +2523,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier, re-expressed as a learned-partition ANN."""
     from photo_dedup_spark.operators.similarity import cosine_topk_ivf
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _wide(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cosine_topk_ivf(emb, k=3, nprobe=8)
 
 

@@ -217,19 +217,104 @@ def srp_hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
-def make_srp_bucket_udf(planes: list[list[float]]):
-    """pandas UDF: vector -> sign-bit bucket id under the SRP planes
-    (one numpy matmul per Arrow batch)."""
-    mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_bits)
-    weights = (1 << np.arange(mat.shape[1], dtype=np.int64))
+def pair_cosines_tiled(
+    pairs: DataFrame,
+    vecs: DataFrame,
+    tile_blocks: int = 16,
+    num_partitions: int | None = None,
+    emit_both_directions: bool = False,
+) -> DataFrame:
+    """Cosine per candidate (src, dst) pair via tile-local vector
+    gather — the ANN analog of the flagship's tiled sketch verify.
 
-    @F.pandas_udf("long")
-    def _bucket(vec: pd.Series) -> pd.Series:
-        vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
-        bits = (vm @ mat) > 0
-        return pd.Series((bits * weights).sum(axis=1))
+    The former shape joined BOTH 512-B vectors onto every candidate row
+    and ran the pair UDF over that payload (≈1 KB × pairs through two
+    exchanges + Arrow).  Here each doc's vector ships once per tile it
+    participates in (distinct (doc, tile) ≤ 2×pairs, usually ≪), and a
+    chunk-vectorized einsum scores the gathered rows.  The arithmetic
+    is copied verbatim from ``_cosine_udf`` (same row-wise float64
+    einsum and norms on identically-shaped gathered matrices), so the
+    scores are bit-identical — the ANN goldens pin cosine values.
 
-    return _bucket
+    *pairs*: (src, dst) — directed rows pass through as-is (no dedup);
+    *vecs*: (doc_id, vec).  Pairs whose endpoint lacks a vector row are
+    dropped (inner semantics of the join it replaces).
+    """
+    nb = max(2, int(tile_blocks))
+    blk_s = F.pmod(F.xxhash64("src"), F.lit(nb))
+    blk_d = F.pmod(F.xxhash64("dst"), F.lit(nb))
+    pt = pairs.select(
+        F.least(blk_s, blk_d).alias("t1"),
+        F.greatest(blk_s, blk_d).alias("t2"),
+        "src",
+        "dst",
+    ).localCheckpoint(eager=False)
+    need = (
+        pt.select("t1", "t2", F.col("src").alias("doc_id"))
+        .unionByName(pt.select("t1", "t2", F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    repl = need.join(vecs.select("doc_id", "vec"), "doc_id")
+
+    def _tile(drows: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
+        if prs.empty or drows.empty:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        ids_raw = drows["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        vm = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in drows["vec"].to_numpy()[order]]
+        )
+        m = len(ids)
+        src_all = prs["src"].to_numpy(dtype=np.int64)
+        dst_all = prs["dst"].to_numpy(dtype=np.int64)
+        pos_s = np.searchsorted(ids, src_all)
+        pos_d = np.searchsorted(ids, dst_all)
+        ok_s = (pos_s < m) & (ids[np.minimum(pos_s, m - 1)] == src_all)
+        ok_d = (pos_d < m) & (ids[np.minimum(pos_d, m - 1)] == dst_all)
+        present = ok_s & ok_d
+        src_all, dst_all = src_all[present], dst_all[present]
+        am = vm[pos_s[present]]
+        bm = vm[pos_d[present]]
+        # verbatim _cosine_udf arithmetic on the gathered matrices
+        num = np.einsum("ij,ij->i", am, bm)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, num / den, 0.0)
+        if emit_both_directions:
+            # cosine is symmetric (den factors commute exactly), so the
+            # mirrored rows carry the identical value — emitting them
+            # here keeps the operator single-consumer downstream
+            return pd.DataFrame(
+                {
+                    "src": np.concatenate([src_all, dst_all]),
+                    "dst": np.concatenate([dst_all, src_all]),
+                    "cosine": np.concatenate([cos, cos]),
+                }
+            )
+        return pd.DataFrame({"src": src_all, "dst": dst_all, "cosine": cos})
+
+    left_side = repl
+    right_side = pt.select(
+        F.col("t1").alias("u1"), F.col("t2").alias("u2"), "src", "dst"
+    )
+    if num_partitions:
+        left_side = left_side.repartition(num_partitions, "t1", "t2")
+        right_side = right_side.repartition(num_partitions, "u1", "u2")
+    return (
+        left_side.groupBy("t1", "t2")
+        .cogroup(right_side.groupBy("u1", "u2"))
+        .applyInPandas(
+            lambda left, right: _tile(left, right),
+            "src long, dst long, cosine double",
+        )
+    )
 
 
 def cosine_topk_srp(
@@ -276,39 +361,42 @@ def cosine_topk_srp(
     if target_bucket is not None:
         n = base.count()
         n_bits = max(n_bits, int(np.ceil(np.log2(max(2, n / target_bucket)))))
-    banded = None
-    for t in range(n_tables):
-        planes = srp_hyperplanes(dim, n_bits, seed=42 + t)
-        bucket_udf = make_srp_bucket_udf(planes)
-        part = base.select(
-            "doc_id",
-            F.lit(t).alias("band_id"),
-            bucket_udf(F.col("vec")).alias("band_hash"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # ONE Arrow pass computes every table's bucket id (the per-table
+    # loop ran n_tables separate UDF stages over the corpus — 4×
+    # scan+transfer overhead for the same matmuls; same sign bits, the
+    # per-table plane blocks are just concatenated columns)
+    mats = [
+        np.asarray(srp_hyperplanes(dim, n_bits, seed=42 + t), dtype=np.float64).T
+        for t in range(n_tables)
+    ]
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    nt = n_tables
+
+    @F.pandas_udf("array<long>")
+    def _buckets_all(vec: pd.Series) -> pd.Series:
+        vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
+        out = np.empty((len(vm), nt), dtype=np.int64)
+        for t in range(nt):
+            bits = (vm @ mats[t]) > 0
+            out[:, t] = (bits * weights).sum(axis=1)
+        return pd.Series(list(out))
+
+    banded = base.select(
+        "doc_id", F.posexplode(_buckets_all(F.col("vec"))).alias("band_id", "band_hash")
+    )
     # salted, overflow-capped bucket pair generation (src < dst)
     if pair_cfg is None:
         pair_cfg = DedupConfig(salt_threshold=2048, num_salts=16)
     pairs, bucket_stats = lsh.candidate_pairs(banded, pair_cfg)
-    directed = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    vecs = base
-    scored = (
-        directed.join(
-            vecs.select(F.col("doc_id").alias("src"), F.col("vec").alias("qvec")),
-            "src",
-        )
-        .join(
-            vecs.select(F.col("doc_id").alias("dst"), F.col("vec").alias("cvec")),
-            "dst",
-        )
-        .withColumn("cosine", _cosine_udf(F.col("qvec"), F.col("cvec")))
-        .select(
-            F.col("src").alias("query_id"),
-            F.col("dst").alias("match_id"),
-            "cosine",
-        )
+    # score each UNDIRECTED pair once via the tiled vector gather
+    # (pair_cosines_tiled — vectors ship per (doc, tile), not per
+    # pair); the tile emits both directions itself, so the scored
+    # stream stays single-consumer (no checkpoint, no double run)
+    p = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scored = pair_cosines_tiled(
+        pairs, base, tile_blocks=16, num_partitions=p, emit_both_directions=True
+    ).select(
+        F.col("src").alias("query_id"), F.col("dst").alias("match_id"), "cosine"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     topk = (
@@ -451,23 +539,25 @@ def cosine_topk_ivf(
     cent_t = cent.T  # (dim, n_cells)
     nprobe = min(nprobe, cent.shape[0])
 
-    @F.pandas_udf("long")
-    def _assign(vec: pd.Series) -> pd.Series:
-        vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
-        nrm = np.linalg.norm(vm, axis=1)
-        nrm[nrm == 0] = 1.0
-        return pd.Series((vm / nrm[:, None] @ cent_t).argmax(axis=1))
-
-    @F.pandas_udf("array<long>")
-    def _probe(vec: pd.Series) -> pd.Series:
+    # one Arrow pass yields BOTH the assignment (argmax — first-max
+    # tie rule preserved) and the probe list (argsort top-nprobe) from
+    # the same similarity matrix — the split _assign/_probe UDFs ran
+    # two separate corpus passes for the same matmul
+    @F.pandas_udf("struct<cell: long, probes: array<long>>")
+    def _assign_probe(vec: pd.Series) -> pd.DataFrame:
         vm = np.asarray([np.asarray(v, dtype=np.float64) for v in vec])
         nrm = np.linalg.norm(vm, axis=1)
         nrm[nrm == 0] = 1.0
         sims = vm / nrm[:, None] @ cent_t
         top = np.argsort(-sims, axis=1)[:, :nprobe]
-        return pd.Series(list(top))
+        return pd.DataFrame(
+            {"cell": sims.argmax(axis=1), "probes": list(top)}
+        )
 
-    corpus = base.withColumn("cell", _assign(F.col("vec")))
+    ap = base.withColumn("_ap", _assign_probe(F.col("vec"))).localCheckpoint(
+        eager=False
+    )
+    corpus = ap.select("doc_id", "vec", F.col("_ap.cell").alias("cell"))
     census = corpus.groupBy("cell").agg(F.count("*").alias("cell_n"))
     salts = census.select(
         "cell",
@@ -476,28 +566,36 @@ def cosine_topk_ivf(
         ).cast("int").alias("n_salts"),
         "cell_n",
     )
+    # candidate (query, match) id pairs from the salted cell join —
+    # ids only; the 512-B vectors no longer ride every candidate row
+    # (the old shape shipped qvec+cvec per pair through the cell join
+    # and a per-pair UDF).  Scoring goes through the tiled gather with
+    # _cosine_udf's verbatim arithmetic (pair_cosines_tiled).
     corpus_s = corpus.join(F.broadcast(salts.select("cell", "n_salts")), "cell").select(
         "cell",
         F.pmod(F.hash("doc_id"), F.col("n_salts")).cast("int").alias("salt"),
         F.col("doc_id").alias("match_id"),
-        F.col("vec").alias("cvec"),
     )
     probes = (
-        base.select("doc_id", "vec", F.explode(_probe(F.col("vec"))).alias("cell"))
+        ap.select("doc_id", F.explode(F.col("_ap.probes")).alias("cell"))
         .join(F.broadcast(salts.select("cell", "n_salts")), "cell")
         .select(
             "cell",
             F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1)).alias("salt"),
             F.col("doc_id").alias("query_id"),
-            F.col("vec").alias("qvec"),
         )
     )
-    scored = (
+    cand = (
         probes.repartition("cell", "salt")
         .join(corpus_s, ["cell", "salt"])
         .where(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", _cosine_udf(F.col("qvec"), F.col("cvec")))
-        .select("query_id", "match_id", "cosine")
+        .select(F.col("query_id").alias("src"), F.col("match_id").alias("dst"))
+    )
+    p = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scored = pair_cosines_tiled(
+        cand, base, tile_blocks=16, num_partitions=p
+    ).select(
+        F.col("src").alias("query_id"), F.col("dst").alias("match_id"), "cosine"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     topk = (

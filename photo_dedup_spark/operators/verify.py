@@ -408,6 +408,103 @@ def _verify_pairs_tiled(
     )
 
 
+def pair_overlap_counts(
+    pairs: DataFrame,
+    sets: DataFrame,
+    tile_blocks: int = 16,
+    num_partitions: int | None = None,
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """Exact |A ∩ B| per candidate pair over per-doc SORTED id arrays —
+    the generic tiled form of the flagship's sketch verify, used by the
+    gram-index queries (PPJoin / containment) as their count-attach.
+
+    *pairs*: (src, dst); *sets*: (doc_id, ids array<long>, ascending,
+    duplicate-free).  Returns (src, dst, inter_cnt) for pairs whose BOTH
+    endpoints have a set row (inner semantics, like the join it
+    replaces); *dedup_pairs* dedups (src, dst) tile-locally, so callers
+    can skip their distinct() shuffle.
+
+    Replaces ``cand ⋈ grams(src) ⋈ grams(dst) GROUP BY pair`` — which
+    materializes Σ pairs × |set| string-keyed rows through two
+    exchanges (measured 210 s for 33M candidates at bench sf1.0) —
+    with one searchsorted merge per pair against tile-local arrays:
+    payload movement is O(distinct(doc, tile) × |set|) integers.
+    """
+    nb = max(2, int(tile_blocks))
+    blk_s = F.pmod(F.xxhash64("src"), F.lit(nb))
+    blk_d = F.pmod(F.xxhash64("dst"), F.lit(nb))
+    pt = pairs.select(
+        F.least(blk_s, blk_d).alias("t1"),
+        F.greatest(blk_s, blk_d).alias("t2"),
+        "src",
+        "dst",
+    ).localCheckpoint(eager=False)
+    need = (
+        pt.select("t1", "t2", F.col("src").alias("doc_id"))
+        .unionByName(pt.select("t1", "t2", F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    repl = need.join(sets.select("doc_id", "ids"), "doc_id")
+
+    def _tile(drows: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
+        if prs.empty or drows.empty:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "inter_cnt": pd.Series(dtype="int64"),
+                }
+            )
+        ids_raw = drows["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        arrs_raw = drows["ids"].to_numpy()[order]
+        m = len(ids)
+        arrs = [
+            None if a is None else np.asarray(a, dtype=np.int64) for a in arrs_raw
+        ]
+        src_all = prs["src"].to_numpy(dtype=np.int64)
+        dst_all = prs["dst"].to_numpy(dtype=np.int64)
+        if dedup_pairs and len(src_all):
+            both = np.unique(np.stack([src_all, dst_all], axis=1), axis=0)
+            src_all, dst_all = both[:, 0], both[:, 1]
+        pos_s = np.searchsorted(ids, src_all)
+        pos_d = np.searchsorted(ids, dst_all)
+        ok_s = (pos_s < m) & (ids[np.minimum(pos_s, m - 1)] == src_all)
+        ok_d = (pos_d < m) & (ids[np.minimum(pos_d, m - 1)] == dst_all)
+        present = ok_s & ok_d
+        src_all, dst_all = src_all[present], dst_all[present]
+        ia, ib = pos_s[present], pos_d[present]
+        n = len(src_all)
+        inter = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            ua, ub = arrs[ia[i]], arrs[ib[i]]
+            if ua is None or ub is None:
+                continue
+            sm, bg = (ua, ub) if ua.size <= ub.size else (ub, ua)
+            pos = np.searchsorted(bg, sm)
+            hit = pos < bg.size
+            inter[i] = np.count_nonzero(bg[pos[hit]] == sm[hit])
+        return pd.DataFrame({"src": src_all, "dst": dst_all, "inter_cnt": inter})
+
+    left_side = repl
+    right_side = pt.select(
+        F.col("t1").alias("u1"), F.col("t2").alias("u2"), "src", "dst"
+    )
+    if num_partitions:
+        left_side = left_side.repartition(num_partitions, "t1", "t2")
+        right_side = right_side.repartition(num_partitions, "u1", "u2")
+    return (
+        left_side.groupBy("t1", "t2")
+        .cogroup(right_side.groupBy("u1", "u2"))
+        .applyInPandas(
+            lambda left, right: _tile(left, right),
+            "src long, dst long, inter_cnt long",
+        )
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     docs: DataFrame,
