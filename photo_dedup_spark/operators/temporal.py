@@ -192,6 +192,7 @@ def asof_join(
     right_vals: dict[str, str],
     left_tie: str | None = None,
     right_tie: str | None = None,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same key
     with (right_ts, right_tie) <= (left_ts, left_tie) lexicographically
@@ -207,6 +208,19 @@ def asof_join(
     cross-joined.  Reference parity note: the reference has no temporal
     ops — this extends SURVEY.md §2's window tier (W1-W4) to the
     event-stream shapes a web-scale ingest pipeline needs.
+
+    ``bucket_seconds`` (the skew knob — r5 VERDICT "what's wrong" #1,
+    the asof analog of sessionize's two-level form): when set, the
+    carry-forward window partitions by (key, coarse time bucket), and a
+    per-(key, bucket) last-right-row summary — ONE row per bucket —
+    cascades the carry across buckets through a second tiny window.  A
+    hot key then costs max(rows-per-bucket) per window task instead of
+    serializing its whole history.  Identical output: each carried
+    column independently takes its latest non-null value (exactly the
+    one-level ``last(ignorenulls)`` semantics), locally when the bucket
+    has one, else from the strictly-earlier-bucket cascade.  Equal
+    timestamps share a bucket (bucket is a function of the timestamp),
+    so the (ts, tie, side) total order is preserved within buckets.
     """
     lt = left.select(
         F.col(on).alias("_k"),
@@ -234,22 +248,98 @@ def asof_join(
         *[F.col(c).alias(o) for c, o in right_vals.items()],
         F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_r_ts_us"),
     )
-    w = (
-        Window.partitionBy("_k")
+    u = lt.unionByName(rt)
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    carry_names = list(right_vals.values()) + ["_r_ts_us"]
+
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts_us", "_tie", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried: list[Column] = [
+            F.last(o, ignorenulls=True).over(w).alias(o)
+            for o in right_vals.values()
+        ]
+        carried.append(
+            F.last("_r_ts_us", ignorenulls=True).over(w).alias("_r_ts_us_c")
+        )
+        joined = u.select("_k", "_ts_us", "_side", "_lrow", *carried)
+        return (
+            joined.where(F.col("_side") == 1)
+            .select(
+                *out_cols,
+                *[F.col(o) for o in right_vals.values()],
+                (F.col("_ts_us") - F.col("_r_ts_us_c")).alias("asof_gap_us"),
+            )
+        )
+
+    # --- two-level form: (key, bucket) local carry + per-bucket cascade
+    bucket_us = int(bucket_seconds) * 1_000_000
+    ub = u.withColumn("_bkt", F.floor(F.col("_ts_us") / F.lit(bucket_us)))
+    wb = (
+        Window.partitionBy("_k", "_bkt")
         .orderBy("_ts_us", "_tie", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [
-        F.last(o, ignorenulls=True).over(w).alias(o) for o in right_vals.values()
+    localized = ub.select(
+        "_k",
+        "_bkt",
+        "_ts_us",
+        "_side",
+        "_lrow",
+        *[
+            F.last(o, ignorenulls=True).over(wb).alias(f"_loc_{o}")
+            for o in carry_names
+        ],
+    )
+    # per-(key, bucket) summary: latest non-null value per carried
+    # column among the bucket's RIGHT rows — max_by ignores rows whose
+    # ordering expression is null, giving exactly last(ignorenulls)
+    rsum = (
+        ub.where(F.col("_side") == 0)
+        .groupBy("_k", "_bkt")
+        .agg(
+            *[
+                F.max_by(
+                    F.col(o),
+                    F.when(
+                        F.col(o).isNotNull(), F.struct("_ts_us", "_tie")
+                    ),
+                ).alias(f"_s_{o}")
+                for o in carry_names
+            ]
+        )
+    )
+    # cascade over STRICTLY earlier buckets (in-bucket rows are covered
+    # by the local window); the spine has one row per populated (key,
+    # bucket), so a hot key costs O(its bucket count) here, not O(rows)
+    spine = ub.select("_k", "_bkt").distinct().join(rsum, ["_k", "_bkt"], "left")
+    wk = (
+        Window.partitionBy("_k")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = spine.select(
+        "_k",
+        "_bkt",
+        *[
+            F.last(f"_s_{o}", ignorenulls=True).over(wk).alias(f"_c_{o}")
+            for o in carry_names
+        ],
+    )
+    merged = localized.join(carry, ["_k", "_bkt"])
+    final_vals = [
+        F.coalesce(F.col(f"_loc_{o}"), F.col(f"_c_{o}")).alias(o)
+        for o in right_vals.values()
     ]
-    carried.append(F.last("_r_ts_us", ignorenulls=True).over(w).alias("_r_ts_us_c"))
-    joined = lt.unionByName(rt).select("_k", "_ts_us", "_side", "_lrow", *carried)
-    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    final_rts = F.coalesce(F.col("_loc__r_ts_us"), F.col("_c__r_ts_us"))
     return (
-        joined.where(F.col("_side") == 1)
+        merged.where(F.col("_side") == 1)
         .select(
             *out_cols,
-            *[F.col(o) for o in right_vals.values()],
-            (F.col("_ts_us") - F.col("_r_ts_us_c")).alias("asof_gap_us"),
+            *final_vals,
+            (F.col("_ts_us") - final_rts).alias("asof_gap_us"),
         )
     )
