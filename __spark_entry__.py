@@ -1941,7 +1941,9 @@ def q_action_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     files = _docs_as_files(spark, sf_dir)
     res = run_pipeline(spark, files, ENTRY_CONFIG, mode="hybrid", collect_metrics=False)
-    dups = dup_groups_only(res.assignments)
+    # checkpoint: move/rename/sequence consume the dup groups several
+    # times — without it each consumer re-runs the pipeline tail
+    dups = dup_groups_only(res.assignments).localCheckpoint(eager=False)
     plan = move_plan(dups).unionByName(rename_plan(dups))
     return sequence_plan(plan)
 
@@ -2021,7 +2023,12 @@ def q_action_plan_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                             lit_concat("mirror/shared_", i, ".txt")))
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("path"))
-    selected = members.withColumn("is_keep", F.row_number().over(w) == 1)
+    # checkpoint: the planted member table is 18 unioned scan branches,
+    # each re-normalizing + re-hashing text — move/rename consume the
+    # selection several times, so materialize it once (tiny rows)
+    selected = members.withColumn(
+        "is_keep", F.row_number().over(w) == 1
+    ).localCheckpoint(eager=False)
     plan = move_plan(selected).unionByName(rename_plan(selected))
     return plan.select(
         "action", "cluster_id", "src", "dst", _phase_col().cast("int").alias("phase")
