@@ -1,17 +1,22 @@
-"""LSH banding + skew-salted candidate self-join.
+"""LSH banding + skew-salted candidate pair generation.
 
 Replaces the reference's BK-tree radius search (the sub-quadratic
 candidate stage, /root/reference/photo_dedup/scanner.py:232-283,
 consumed at scanner.py:359-368) with the Spark-native equivalent:
 explode MinHash band keys, **repartition by band-hash** (north rule),
-and self-join within buckets.  Skewed buckets (license boilerplate,
-vendored libs) are handled explicitly:
+and generate pairs within buckets.  Skewed buckets (license
+boilerplate, vendored libs) are handled explicitly:
 
-  * buckets with ``count <= salt_threshold``      → plain self-join,
+  * buckets with ``count <= salt_threshold``      → INLINE expansion:
+      the sorted member list per bucket emits (ids[i], ids[j]) for
+      i < j through two nested generators — no self-join machinery,
+      per-row state bounded by salt_threshold members (round-6 rework;
+      identical pair set to the former bucket self-join),
   * ``salt_threshold < count <= overflow_cap``    → salted pair-cells:
       each member gets ``salt = pmod(xxhash64(doc_id), S)``; the pair
       space is tiled into (i <= j) salt cells so a bucket of n rows
-      becomes ~S²/2 tasks of ~(n/S)² pairs instead of one n² task,
+      becomes ~S²/2 tasks of ~(n/S)² pairs instead of one n² task
+      (too big to collect per row — which is why they are salted),
   * ``count > overflow_cap``                      → dropped from the
       near-dup path with a **logged metric** (degrade-don't-drop:
       members keep their exact keys; mirrors the reference's oversize

@@ -12,9 +12,11 @@ scanner.py:815-978 stage by stage, Spark-first):
   2 signatures  MinHash + SimHash pandas UDFs on exact-group
                 representatives only (J6 rep pattern);
                 oversize reps fall back to exact-only (hasher.py:109-119)
-  3 candidates  LSH band + SimHash-prefix buckets, repartitioned and
-                skew-salted self-join (J3), pair dedup
-  4 verify      Jaccard/containment pandas UDF + JVM-side Hamming (J5/J8)
+  3 candidates  LSH band + SimHash-prefix buckets, inline in-bucket
+                pair expansion + skew-salted cell join (J3); pair dedup
+                folds into the verify tiles
+  4 verify      block-tiled sketch Jaccard/containment + Hamming
+                (J5/J8) — sketches ship per (doc, tile), not per pair
   5 components  connected components over verified REP edges only —
                 the rep graph is orders of magnitude smaller than the
                 doc table, so the iterative loop never touches members
@@ -216,7 +218,7 @@ def run_pipeline(
     # keyed_lite: every identity/key column EXCEPT content, materialized
     # ONCE.  normalize+sha over full content is the single most expensive
     # JVM pass; leaving `keyed` lazy made every downstream consumer
-    # (reps agg, rep_map, final members join) recompute it — measured as
+    # (reps agg, member_base, final member projection) recompute it — measured as
     # the dominant cost of the final materialization.  The checkpoint is
     # ~100 B/row (no content); at true 10^12-row scale this is the
     # per-stage parquet checkpoint plans/checkpoint.py persists — here a
