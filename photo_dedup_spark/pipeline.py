@@ -223,13 +223,21 @@ def run_pipeline(
     # ~100 B/row (no content); at true 10^12-row scale this is the
     # per-stage parquet checkpoint plans/checkpoint.py persists — here a
     # localCheckpoint serves the same single-computation role.
+    # exact_key (a SECOND full sha2 pass over content) is consumed only
+    # by the strict_verify re-split — computing it unconditionally cost
+    # a full content hash pass per run (measured ~4 s of the keys stage
+    # at the 468k-file corpus) that the default mode threw away
     keyed_lite = docs.select(
         "doc_id",
         "repo",
         "path",
         "lang",
         "n_chars",
-        exact_key_col(F.col("content")).alias("exact_key"),
+        *(
+            [exact_key_col(F.col("content")).alias("exact_key")]
+            if strict_verify
+            else []
+        ),
         group_key.alias("norm_key"),
     ).localCheckpoint(eager=_eager)
     reps_lite = keyed_lite.groupBy("norm_key").agg(
